@@ -1,0 +1,117 @@
+"""Jitted training / eval steps with data-parallel sharding.
+
+One compiled function does forward, loss, backward, all-reduce (inserted by
+XLA over ICI from the sharding annotations) and the optimizer update.  The
+train state is donated, so params/opt-state update in place in HBM.  Loss
+scalars stay on device — fetch them at logging cadence, not every step
+(the reference synced device->host every step; SURVEY.md §3.2 hard part #7).
+
+Optimizer contract (reference: /root/reference/footprints/model_manager.py:27-28):
+Adam(lr=1e-4) + StepLR(step_size=10 epochs, gamma=0.1 default).
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..parallel import mesh as meshlib
+from .losses import LossConfig, compute_losses
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainStepConfig:
+    learning_rate: float = 1e-4
+    scheduler_step_epochs: int = 10
+    scheduler_gamma: float = 0.1
+    steps_per_epoch: int = 1  # used to convert the epoch-based StepLR to steps
+    loss: LossConfig = LossConfig()
+
+
+def make_lr_schedule(config: TrainStepConfig):
+    """StepLR as a step-indexed schedule: lr * gamma^(epoch // step_epochs)."""
+    boundary = config.scheduler_step_epochs * config.steps_per_epoch
+
+    def schedule(step):
+        return config.learning_rate * config.scheduler_gamma ** (step // boundary)
+
+    return schedule
+
+
+def make_optimizer(config: TrainStepConfig):
+    return optax.adam(learning_rate=make_lr_schedule(config))
+
+
+def init_train_state(net, key, config: TrainStepConfig):
+    """Returns the train-state pytree {params, state, opt_state, step}."""
+    params, state = net.init(key)
+    opt_state = make_optimizer(config).init(params)
+    return {
+        "params": params,
+        "state": state,
+        "opt_state": opt_state,
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def build_train_step(net, config: TrainStepConfig, mesh=None):
+    """Compile the full train step.
+
+    Returned fn: (train_state, batch) -> (train_state, metrics) where batch is
+    {'image': [N,H,W,3], 'depth', 'visible_ground', 'all_ground',
+     'ground_depth', 'depth_mask', 'moving_object_mask': [N,H,W]}.
+    With a mesh, batch dim is sharded over the `data` axis and params are
+    replicated; XLA all-reduces gradients over ICI.
+    """
+    optimizer = make_optimizer(config)
+
+    def loss_fn(params, state, batch):
+        outputs, new_state = net.apply(params, state, batch["image"], train=True)
+        losses = compute_losses(outputs, batch, config.loss)
+        return losses["loss"], (new_state, losses)
+
+    def step_fn(train_state, batch):
+        grads, (new_state, losses) = jax.grad(loss_fn, has_aux=True)(
+            train_state["params"], train_state["state"], batch
+        )
+        updates, new_opt_state = optimizer.update(
+            grads, train_state["opt_state"], train_state["params"]
+        )
+        new_params = optax.apply_updates(train_state["params"], updates)
+        new_train_state = {
+            "params": new_params,
+            "state": new_state,
+            "opt_state": new_opt_state,
+            "step": train_state["step"] + 1,
+        }
+        metrics = dict(losses)
+        metrics["lr"] = make_lr_schedule(config)(train_state["step"])
+        return new_train_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    repl = meshlib.replicated(mesh)  # params / opt_state / step: replicated
+    data = meshlib.batch_sharded(mesh)
+    return jax.jit(
+        step_fn,
+        donate_argnums=(0,),
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+    )
+
+
+def build_eval_step(net, config: TrainStepConfig, mesh=None):
+    """Compiled no-grad eval step: (params, state, batch) -> losses dict."""
+
+    def eval_fn(params, state, batch):
+        outputs, _ = net.apply(params, state, batch["image"], train=False)
+        return compute_losses(outputs, batch, config.loss)
+
+    if mesh is None:
+        return jax.jit(eval_fn)
+    repl = meshlib.replicated(mesh)
+    data = meshlib.batch_sharded(mesh)
+    return jax.jit(eval_fn, in_shardings=(repl, repl, data), out_shardings=repl)
