@@ -1,0 +1,107 @@
+"""Batch test-split inference (reference:
+/root/reference/footprints/evaluation/inference.py).
+
+Writes per-image float16 ``.npy`` predictions (channels-first [4,H,W], sigmoid
+applied to the mask channels — note predict_simple deliberately does NOT;
+the reference's two paths differ and parity keeps both) into
+``<load_path>/<data_type>_predictions`` by default.
+
+TPU-native: one jitted forward per batch shape; constant batch padding keeps
+a single compiled executable; the device queue stays full via the threaded
+loader.
+"""
+
+import os
+
+import numpy as np
+
+from ..core.config import load_config, readlines
+from ..data import DataLoader, get_inference_dataset_class
+from ..model_manager import ModelManager
+
+COLORMAP = None  # lazy matplotlib
+
+
+class InferenceManager:
+    def __init__(self, options):
+        print("---------------\nsetting up...")
+        self.opt = options
+        self.config = load_config(self.opt.config_path)
+
+        if self.opt.inference_save_path is None:
+            self.savepath = os.path.join(
+                self.opt.load_path, f"{self.opt.inference_data_type}_predictions")
+        else:
+            self.savepath = self.opt.inference_save_path
+        print(f"saving output to {self.savepath}")
+
+        self.model_manager = ModelManager(
+            is_inference=True, depth=getattr(self.opt, "encoder_depth", 34))
+        self.model_manager.load_model(weights_path=self.opt.load_path)
+        print("models done!")
+
+        self.loader, self.dataset = self.create_dataloaders()
+        self._forward = self._build_forward()
+        print("inference setup complete!\n---------------")
+
+    def _build_forward(self):
+        import jax
+
+        net = self.model_manager.net
+        params, state = self.model_manager.params, self.model_manager.state
+
+        @jax.jit
+        def forward(images):
+            out, _ = net.apply(params, state, images, train=False)
+            pred = out["1/1"]
+            mask = jax.nn.sigmoid(pred[..., :2])
+            pred = jax.numpy.concatenate([mask, pred[..., 2:]], axis=-1)
+            # channels-first on device: fetching NHWC C=4 would transfer the
+            # lane-padded (4->128) buffer; also cast to the artifact's f16
+            return jax.numpy.transpose(pred, (0, 3, 1, 2)).astype(
+                jax.numpy.float16)
+
+        return forward
+
+    def create_dataloaders(self):
+        name = self.opt.inference_data_type
+        raw_data_path = self.config[name]["dataset"]
+        split_root = getattr(self.opt, "split_root", "splits")
+        test_files = readlines(os.path.join(split_root, name, "test.txt"))
+        dataset = get_inference_dataset_class(name)(
+            raw_data_path, test_files, self.opt.height, self.opt.width)
+        loader = DataLoader(dataset, self.opt.batch_size, shuffle=False,
+                            num_workers=self.opt.num_workers, drop_last=False)
+        return loader, dataset
+
+    def run(self):
+        import jax.numpy as jnp
+
+        print("running inference...")
+        bs = self.opt.batch_size
+        for inputs in self.loader:
+            images = inputs["image"]
+            n = images.shape[0]
+            if n < bs:  # pad the tail batch to keep one compiled shape
+                pad = np.zeros((bs - n,) + images.shape[1:], images.dtype)
+                images = np.concatenate([images, pad])
+            preds = np.asarray(self._forward(jnp.asarray(images))[:n])  # [N,4,H,W] f16
+
+            visualisations = self._make_visualisations(inputs["image"], preds) \
+                if self.opt.save_test_visualisations else [None] * n
+            for i in range(n):
+                self.dataset.save_result(inputs["idx"][i], preds[i],
+                                         self.savepath, visualisations[i])
+        print("finished testing!")
+
+    def _make_visualisations(self, images, preds):
+        import matplotlib.pyplot as plt
+
+        global COLORMAP
+        if COLORMAP is None:
+            COLORMAP = plt.get_cmap("plasma")
+        out = []
+        for image, pred in zip(images, preds):
+            mask = (pred[1] > 0.5).astype(float)
+            out.append(np.concatenate([image, COLORMAP(mask)[..., :3]], axis=1))
+        return out

@@ -1,0 +1,24 @@
+"""Entry point: train or batch-inference (reference:
+/root/reference/footprints/main.py).
+
+  python -m footprints_tpu.main --mode train --training_dataset kitti ...
+  python -m footprints_tpu.main --mode inference --load_path <dir> ...
+"""
+
+from .options import Options
+
+
+def main(argv=None):
+    opts = Options().parse(argv)
+    if opts.mode == "train":
+        from .train.trainer import TrainManager
+
+        TrainManager(opts).train()
+    else:
+        from .eval.inference import InferenceManager
+
+        InferenceManager(opts).run()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""CLI options (flag parity with /root/reference/footprints/options.py)."""
+
+import argparse
+
+
+class Options:
+    def __init__(self):
+        self.options = None
+        self.parser = argparse.ArgumentParser()
+        p = self.parser
+
+        # Universal
+        p.add_argument("--mode", type=str, choices=["train", "inference"],
+                       default="train", help="training or inference mode")
+        p.add_argument("--height", type=int, default=192, help="input height")
+        p.add_argument("--width", type=int, default=640, help="input width")
+        p.add_argument("--depth_range", nargs="+", type=float, default=[0.1, 100],
+                       help="range of depth values")
+
+        # Training
+        p.add_argument("--training_dataset", type=str,
+                       choices=["kitti", "matterport"], default="kitti")
+        p.add_argument("--epochs", type=int, default=10)
+        p.add_argument("--log_freq", type=int, default=250,
+                       help="frequency of tensorboard logs + validation")
+        p.add_argument("--val_batches", type=int, default=10,
+                       help="validation batches to average over")
+        p.add_argument("--batch_size", type=int, default=12)
+        p.add_argument("--lr", type=float, default=1e-4)
+        p.add_argument("--use_footprint_prior", action="store_true",
+                       help="assume only positive hidden-ground labels; add a "
+                            "negative prior on unlabeled pixels")
+        p.add_argument("--footprint_prior", type=float, default=0.25,
+                       help="weight for negative hidden footprint prior")
+        p.add_argument("--no_depth_mask", action="store_true",
+                       help="disable definitely-not-ground pixels")
+        p.add_argument("--moving_objects_method", type=str,
+                       choices=["none", "ours"], default="ours")
+        p.add_argument("--project_down_baseline", action="store_true")
+        p.add_argument("--num_workers", type=int, default=8,
+                       help="prefetch worker threads")
+        p.add_argument("--config_path", type=str, default="paths.yaml")
+        p.add_argument("--model_name", type=str, default="model")
+        p.add_argument("--log_path", type=str, default="./logs")
+        p.add_argument("--log_images", action="store_true",
+                       help="also log image panels to tensorboard (extra "
+                            "device->host transfers at log cadence)")
+        p.add_argument("--encoder_depth", type=int, choices=[18, 34, 50],
+                       default=34, help="ResNet encoder depth (checkpoint "
+                                        "contract: 34)")
+        p.add_argument("--split_root", type=str, default="splits",
+                       help="root directory of split txt files")
+
+        # Inference
+        p.add_argument("--inference_data_type", choices=["kitti", "matterport"],
+                       default="kitti")
+        p.add_argument("--load_path", type=str, help="model path to load from")
+        p.add_argument("--inference_save_path", default=None,
+                       help="defaults to <load_path>/<data_type>_predictions/")
+        p.add_argument("--save_test_visualisations", action="store_true")
+
+    def parse(self, argv=None):
+        self.options = self.parser.parse_args(argv)
+        return self.options

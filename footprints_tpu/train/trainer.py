@@ -1,0 +1,213 @@
+"""TrainManager — the training orchestrator (reference:
+/root/reference/footprints/training/train.py:42-227).
+
+TPU-first differences from the reference loop:
+  * the whole step (forward+loss+backward+update) is ONE compiled XLA graph
+    with donated train state; losses stay on device until log cadence;
+  * data parallelism comes from a `jax.sharding` mesh (pass n>1 devices);
+    the batch is split over the `data` axis, XLA all-reduces gradients;
+  * the input pipeline is a threaded prefetch loader + device double
+    buffering, not forked worker processes;
+  * checkpoints carry optimizer state AND step counter, so `--load_path`
+    resume continues the LR schedule (the reference restarted it).
+
+Cadences match the reference: console log every 100 steps, tensorboard +
+validation every `log_freq` (default 250), checkpoint + LR step per epoch.
+"""
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..core.config import load_config, readlines
+from ..data import DataLoader, DevicePrefetcher, get_dataset_class
+from ..model_manager import ModelManager
+from ..parallel import make_mesh, replicate_tree, shard_batch
+from ..utils import sec_to_hm_str
+from .evaluator import Evaluator
+from .logger import TimeLogger, Timer, log
+from .losses import LossConfig
+from .step import TrainStepConfig, build_eval_step, build_train_step
+
+SEED = 10
+
+
+class TrainManager:
+    def __init__(self, options, devices=None):
+        print("---------------\nsetting up...")
+        self.opt = options
+        self.config = load_config(self.opt.config_path)
+
+        self.train_loader, self.val_loader = self.create_dataloaders()
+        steps_per_epoch = max(len(self.train_loader), 1)
+        print(f"datasets done! train size - {len(self.train_loader.dataset)} images; "
+              f"validation size - {len(self.val_loader.dataset)} images")
+
+        self.model_manager = ModelManager(
+            save_folder=os.path.join(self.opt.log_path, self.opt.model_name, "models"),
+            learning_rate=self.opt.lr,
+            lr_step_size=10,
+            steps_per_epoch=steps_per_epoch,
+            depth=getattr(self.opt, "encoder_depth", 34),
+            seed=SEED,
+        )
+        if self.opt.load_path is not None:
+            self.model_manager.load_model(weights_path=self.opt.load_path,
+                                          load_optimiser=True)
+        print("models done!")
+
+        self.mesh = make_mesh(devices)
+        n_dev = len(self.mesh.devices.flat)
+        assert self.opt.batch_size % n_dev == 0, (
+            f"batch_size {self.opt.batch_size} must divide over {n_dev} devices")
+
+        loss_config = LossConfig(
+            min_depth=self.opt.depth_range[0],
+            max_depth=self.opt.depth_range[1],
+            footprint_prior_weight=self.opt.footprint_prior,
+        )
+        self.step_config = TrainStepConfig(
+            learning_rate=self.opt.lr,
+            steps_per_epoch=steps_per_epoch,
+            loss=loss_config,
+        )
+        self.train_step = build_train_step(
+            self.model_manager.net, self.step_config, mesh=self.mesh)
+        self.eval_step = build_eval_step(
+            self.model_manager.net, self.step_config, mesh=self.mesh)
+
+        self.train_state = replicate_tree(self.mesh, self.model_manager.train_state())
+
+        self.evaluator = Evaluator()
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.train_writer = SummaryWriter(
+                os.path.join(self.opt.log_path, self.opt.model_name, "train"))
+            self.val_writer = SummaryWriter(
+                os.path.join(self.opt.log_path, self.opt.model_name, "val"))
+        except ImportError:
+            self.train_writer = self.val_writer = None
+        self.timer = TimeLogger()
+
+        self.step = int(np.asarray(self.model_manager.step))
+        self.num_total_steps = steps_per_epoch * self.opt.epochs
+        self.val_iter = iter(self.val_loader)
+        print("training setup complete!\n---------------")
+
+    # ------------------------------------------------------------------
+
+    def create_dataloaders(self):
+        dataset = self.opt.training_dataset
+        raw_data_path = self.config[dataset]["dataset"]
+        training_data_path = self.config[dataset]["training_data"]
+        split_root = getattr(self.opt, "split_root", "splits")
+        train_files = readlines(os.path.join(split_root, dataset, "train.txt"))
+        val_files = readlines(os.path.join(split_root, dataset, "val.txt"))
+        dataset_class = get_dataset_class(dataset)
+
+        common = dict(
+            height=self.opt.height, width=self.opt.width,
+            no_depth_mask=self.opt.no_depth_mask,
+            moving_objects_method=self.opt.moving_objects_method,
+            project_down_baseline=self.opt.project_down_baseline,
+        )
+        train_dataset = dataset_class(raw_data_path, training_data_path, train_files,
+                                      is_train=True, seed=SEED, **common)
+        val_dataset = dataset_class(raw_data_path, training_data_path, val_files,
+                                    is_train=False, seed=SEED, **common)
+        train_loader = DataLoader(train_dataset, self.opt.batch_size, shuffle=True,
+                                  num_workers=self.opt.num_workers, seed=SEED)
+        val_loader = DataLoader(val_dataset, self.opt.batch_size, shuffle=True,
+                                num_workers=min(2, self.opt.num_workers),
+                                drop_last=True, seed=SEED)
+        return train_loader, val_loader
+
+    # ------------------------------------------------------------------
+
+    def train(self):
+        print("training...")
+        self.start_time = time.time()
+        for self.epoch in range(self.opt.epochs):
+            self.run_epoch()
+        self._sync_model_manager()
+        print("training complete!")
+
+    def run_epoch(self):
+        device_iter = DevicePrefetcher(
+            iter(self.train_loader), lambda b: self._put(b), depth=2)
+
+        last_batch = None
+        for batch_idx, batch in enumerate(device_iter):
+            before = time.time()
+            self.train_state, metrics = self.train_step(self.train_state, batch)
+            self.evaluator.accumulate(
+                {k: v for k, v in metrics.items() if k != "lr"}, mode="train")
+            self.lr = metrics["lr"]
+            last_batch = batch
+            self.timer.add_time("train_network_time", time.time() - before)
+
+            if self.step % 100 == 0:
+                losses = self.evaluator.get_averaged_losses("train", reset=False)
+                print(f"Epoch {self.epoch} -- Batch {batch_idx} -- "
+                      f"Loss {losses.get('loss', float('nan')):.4f}")
+                self.timer.print_time()
+                elapsed = time.time() - self.start_time
+                left = ((self.num_total_steps / self.step - 1.0) * elapsed
+                        if self.step else 0)
+                print(f"time elapsed/left: {sec_to_hm_str(elapsed)}/"
+                      f"{sec_to_hm_str(left)}")
+
+                if self.step % self.opt.log_freq == 0:
+                    losses = self.evaluator.get_averaged_losses("train", reset=True)
+                    with Timer(self.timer, "log_time"):
+                        self._log(self.train_writer, batch, losses)
+                    self.val()
+            self.step += 1
+
+        print(f"Epoch {self.epoch} complete!")
+        self._sync_model_manager()
+        self.model_manager.save_model(folder_name=f"weights_{self.epoch}")
+
+    def val(self):
+        with Timer(self.timer, "val_time"):
+            print("validating...")
+            batch = None
+            for _ in range(self.opt.val_batches):
+                try:
+                    host_batch = next(self.val_iter)
+                except StopIteration:
+                    self.val_iter = iter(self.val_loader)
+                    host_batch = next(self.val_iter)
+                batch = self._put(host_batch)
+                losses = self.eval_step(
+                    self.train_state["params"], self.train_state["state"], batch)
+                self.evaluator.accumulate(losses, mode="val")
+            print("validation complete!")
+        losses = self.evaluator.get_averaged_losses("val", reset=True)
+        with Timer(self.timer, "log_time"):
+            self._log(self.val_writer, batch, losses)
+
+    # ------------------------------------------------------------------
+
+    def _put(self, host_batch):
+        return shard_batch(self.mesh, host_batch)
+
+    def _log(self, writer, batch, losses):
+        if writer is None:
+            return
+        inputs = outputs = None
+        if getattr(self.opt, "log_images", False) and batch is not None:
+            net = self.model_manager.net
+            out, _ = jax.jit(
+                lambda p, s, x: net.apply(p, s, x, train=False)
+            )(self.train_state["params"], self.train_state["state"], batch["image"])
+            outputs = np.asarray(out["1/1"][:4])
+            inputs = {k: np.asarray(v[:4]) for k, v in batch.items()}
+        log(writer, inputs, outputs, losses, float(np.asarray(self.lr)), self.step)
+
+    def _sync_model_manager(self):
+        host = jax.tree.map(np.asarray, self.train_state)
+        self.model_manager.set_train_state(host)

@@ -1,0 +1,90 @@
+"""End-to-end training: TrainManager over a synthetic KITTI tree on the
+8-device CPU mesh — epochs run, losses are finite, checkpoints appear, and
+resume restores the step counter."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image
+
+H = W = 64
+
+
+def _make_kitti_tree(root, n_train=8, n_val=8):
+    raw = root / "raw"
+    td = root / "training_data"
+    rng = np.random.RandomState(0)
+    lines = []
+    for i in range(max(n_train, n_val)):
+        seq, frame, side = "seq0", str(i), "l"
+        lines.append(f"{seq} {frame} {side}")
+        cam = "image_02"
+        f = frame.zfill(10)
+        os.makedirs(raw / seq / cam / "data", exist_ok=True)
+        Image.fromarray(rng.randint(0, 255, (96, 160, 3), dtype=np.uint8)).save(
+            raw / seq / cam / "data" / f"{f}.jpg")
+        for sub, val in [
+            ("ground_seg", rng.rand(96, 160)),
+            ("hidden_depths", rng.rand(96, 160) * 20),
+            ("depth_masks", (rng.rand(96, 160) > 0.9).astype(float)),
+            ("moving_objects", np.zeros((96, 160))),
+        ]:
+            os.makedirs(td / sub / seq / cam / "data", exist_ok=True)
+            np.save(td / sub / seq / cam / "data" / f"{f}.npy",
+                    val.astype(np.float32))
+        os.makedirs(td / "stereo_matching_disps" / seq / cam, exist_ok=True)
+        np.save(td / "stereo_matching_disps" / seq / cam / f"{f}.npy",
+                (rng.rand(96, 160) * 50 + 5).astype(np.float32))
+
+    splits = root / "splits" / "kitti"
+    os.makedirs(splits, exist_ok=True)
+    (splits / "train.txt").write_text("\n".join(lines[:n_train]))
+    (splits / "val.txt").write_text("\n".join(lines[:n_val]))
+
+    config = root / "paths.yaml"
+    config.write_text(yaml.safe_dump({
+        "kitti": {"dataset": str(raw), "training_data": str(td)}}))
+    return config
+
+
+@pytest.mark.slow
+def test_train_manager_end_to_end(tmp_path):
+    from footprints_tpu.options import Options
+    from footprints_tpu.train.trainer import TrainManager
+
+    config = _make_kitti_tree(tmp_path)
+    log_path = str(tmp_path / "logs")
+    argv = [
+        "--mode", "train", "--training_dataset", "kitti",
+        "--height", str(H), "--width", str(W),
+        "--batch_size", "8", "--epochs", "1", "--num_workers", "2",
+        "--val_batches", "1", "--log_freq", "1000000",
+        "--config_path", str(config), "--log_path", log_path,
+        "--split_root", str(tmp_path / "splits"),
+        "--encoder_depth", "18", "--model_name", "tiny",
+    ]
+    opts = Options().parse(argv)
+    tm = TrainManager(opts)
+    tm.train()
+
+    # checkpoint written
+    ckpt = os.path.join(log_path, "tiny", "models", "weights_0", "checkpoint.npz")
+    assert os.path.exists(ckpt)
+    # step advanced (8 train / batch 8 = 1 step per epoch)
+    assert tm.step == 1
+    # step 0 hits the log cadence (0 % log_freq == 0, reference semantics), so
+    # train losses were reset; the val tracker would also be drained by val().
+    # Verify final model state is finite instead.
+    import jax
+
+    for leaf in jax.tree.leaves(tm.model_manager.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+    # resume: step counter restored from checkpoint
+    argv_resume = argv + ["--load_path",
+                          os.path.join(log_path, "tiny", "models", "weights_0")]
+    opts2 = Options().parse(argv_resume)
+    tm2 = TrainManager(opts2)
+    assert tm2.step == 1
