@@ -6,9 +6,11 @@
 """
 
 from .options import Options
+from .platform_config import configure_from_env
 
 
 def main(argv=None):
+    configure_from_env()
     opts = Options().parse(argv)
     if opts.mode == "train":
         from .train.trainer import TrainManager

@@ -180,6 +180,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from .platform_config import configure_from_env
+
+    configure_from_env()
     args = parse_args(argv)
     manager = InferenceManager(
         model_name=args.model,

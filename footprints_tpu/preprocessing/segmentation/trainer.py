@@ -1,0 +1,220 @@
+"""Segmentation Trainer (reference:
+/root/reference/footprints/preprocessing/segmentation/train.py:27-227).
+
+Same TPU-first structure as the main TrainManager: one jitted
+forward+loss+backward+update graph, data-parallel over the mesh,
+device-resident loss accumulation.  Defaults mirror the reference: datasets
+[ADE20K, cityscapes] via concat (matterport train list truncated to 5,000),
+epochs 20, Adam(1e-4) + StepLR(10), per-epoch model checkpoints
+(epoch_<n>/checkpoint.npz, optimizer state not saved — reference saved
+model-only .pth).
+"""
+
+import os
+
+import jax
+import numpy as np
+import optax
+
+from ...core.config import load_config, readlines
+from ...data.loader import DataLoader, DevicePrefetcher
+from ...models import Segmentor
+from ...parallel import make_mesh, replicate_tree, shard_batch
+from ...parallel import mesh as meshlib
+from ...train.checkpoint import load_checkpoint, restore_into, save_checkpoint
+from ...train.evaluator import Evaluator
+from ...convert import segmentor_params_from_state_dict, load_torch_state_dict
+from .datasets import ConcatDataset, get_dataset_class
+from .losses import compute_seg_losses
+
+SEED = 10
+MATTERPORT_TRAIN_CAP = 5000
+
+
+def _load_segmentor_weights(net, load_path):
+    """Load Segmentor weights from epoch_<n>.pth (torch) or checkpoint.npz."""
+    if load_path.endswith(".pth"):
+        sd = load_torch_state_dict(load_path)
+        return segmentor_params_from_state_dict(sd, depth=net.depth,
+                                                use_psp=net.use_psp)
+    ckpt = load_path if load_path.endswith(".npz") else os.path.join(
+        load_path, "checkpoint.npz")
+    loaded = load_checkpoint(ckpt)
+    params, state = net.init(jax.random.PRNGKey(0))
+    return restore_into(params, loaded["params"]), restore_into(
+        state, loaded["state"])
+
+
+class Trainer:
+    def __init__(self, options, devices=None):
+        print("setting up...")
+        self.opt = options
+        self.config = load_config(self.opt.config_path)
+
+        self.net = Segmentor(depth=getattr(self.opt, "encoder_depth", 34),
+                             use_psp=not self.opt.no_PSP)
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            self.params, self.state = self.net.init(jax.random.PRNGKey(SEED))
+        if self.opt.load_path is not None:
+            self.params, self.state = _load_segmentor_weights(
+                self.net, self.opt.load_path)
+
+        self.train_loader, self.val_loader = self.create_dataloaders()
+        steps_per_epoch = max(len(self.train_loader), 1)
+        print(f"training images: {len(self.train_loader.dataset)}; "
+              f"validation images: {len(self.val_loader.dataset)}")
+
+        schedule = lambda step: self.opt.lr * 0.1 ** (
+            step // (10 * steps_per_epoch))
+        self.optimizer = optax.adam(schedule)
+        self.opt_state = self.optimizer.init(self.params)
+        self.schedule = schedule
+
+        self.mesh = make_mesh(devices)
+        n_dev = len(self.mesh.devices.flat)
+        assert self.opt.batch_size % n_dev == 0
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+        self.train_state = replicate_tree(self.mesh, {
+            "params": self.params, "state": self.state,
+            "opt_state": self.opt_state,
+            "step": np.zeros((), np.int32),
+        })
+
+        self.evaluator = Evaluator()
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.train_writer = SummaryWriter(os.path.join(
+                self.opt.log_path, self.opt.model_name, "train"))
+            self.val_writer = SummaryWriter(os.path.join(
+                self.opt.log_path, self.opt.model_name, "val"))
+        except ImportError:
+            self.train_writer = self.val_writer = None
+        self.step = 0
+        self.val_iter = iter(self.val_loader)
+
+    # ------------------------------------------------------------------
+
+    def _build_train_step(self):
+        optimizer = self.optimizer
+        net = self.net
+
+        def loss_fn(params, state, batch):
+            outputs, new_state = net.apply(params, state, batch["image"],
+                                           train=True)
+            losses = compute_seg_losses(outputs, batch["ground_mask"],
+                                        batch["labelled_pix"])
+            return losses["loss"], (new_state, losses)
+
+        def step_fn(ts, batch):
+            grads, (new_state, losses) = jax.grad(loss_fn, has_aux=True)(
+                ts["params"], ts["state"], batch)
+            updates, new_opt = optimizer.update(grads, ts["opt_state"], ts["params"])
+            new_params = optax.apply_updates(ts["params"], updates)
+            return ({"params": new_params, "state": new_state,
+                     "opt_state": new_opt, "step": ts["step"] + 1}, losses)
+
+        repl = meshlib.replicated(self.mesh)
+        data = meshlib.batch_sharded(self.mesh)
+        return jax.jit(step_fn, donate_argnums=(0,),
+                       in_shardings=(repl, data), out_shardings=(repl, repl))
+
+    def _build_eval_step(self):
+        net = self.net
+
+        def eval_fn(params, state, batch):
+            outputs, _ = net.apply(params, state, batch["image"], train=False)
+            return compute_seg_losses(outputs, batch["ground_mask"],
+                                      batch["labelled_pix"])
+
+        repl = meshlib.replicated(self.mesh)
+        data = meshlib.batch_sharded(self.mesh)
+        return jax.jit(eval_fn, in_shardings=(repl, repl, data),
+                       out_shardings=repl)
+
+    # ------------------------------------------------------------------
+
+    def create_dataloaders(self):
+        train_sets, val_sets = [], []
+        split_root = getattr(self.opt, "split_root", "splits")
+        for name in self.opt.training_datasets:
+            dataset_path = self.config[name]["dataset"]
+            train_files = readlines(os.path.join(split_root, name, "train.txt"))
+            val_files = readlines(os.path.join(split_root, name, "val.txt"))
+            if name == "matterport":
+                train_files = train_files[:MATTERPORT_TRAIN_CAP]
+            cls = get_dataset_class(name)
+            train_sets.append(cls(dataset_path, train_files, self.opt.height,
+                                  self.opt.width, is_train=True, seed=SEED))
+            val_sets.append(cls(dataset_path, val_files, self.opt.height,
+                                self.opt.width, is_train=False, seed=SEED))
+        train_loader = DataLoader(ConcatDataset(train_sets), self.opt.batch_size,
+                                  shuffle=True, num_workers=self.opt.num_workers,
+                                  seed=SEED)
+        val_loader = DataLoader(ConcatDataset(val_sets), self.opt.batch_size,
+                                shuffle=True, drop_last=True,
+                                num_workers=min(2, self.opt.num_workers),
+                                seed=SEED)
+        return train_loader, val_loader
+
+    # ------------------------------------------------------------------
+
+    def train(self):
+        print("training")
+        for self.epoch in range(self.opt.epochs):
+            self.run_epoch()
+
+    def run_epoch(self):
+        device_iter = DevicePrefetcher(
+            iter(self.train_loader), lambda b: shard_batch(self.mesh, b), depth=2)
+        for i, batch in enumerate(device_iter):
+            self.train_state, losses = self._train_step(self.train_state, batch)
+            self.evaluator.accumulate(losses, mode="train")
+            self.lr = float(self.schedule(self.step))
+
+            if self.step % self.opt.log_freq == 0:
+                tracked = self.evaluator.get_averaged_losses("train", reset=True)
+                self._log(self.train_writer, tracked)
+                val_losses = self.run_validation()
+                print(f"Epoch {self.epoch} -- Step {self.step} -- "
+                      f"Train Loss {tracked.get('loss', float('nan')):.4f} -- "
+                      f"Val Loss {val_losses.get('loss', float('nan')):.4f}")
+            self.step += 1
+        self.save_model()
+
+    def run_validation(self, batches=None):
+        batches = batches or self.opt.val_batches
+        for _ in range(batches):
+            try:
+                host_batch = next(self.val_iter)
+            except StopIteration:
+                self.val_iter = iter(self.val_loader)
+                host_batch = next(self.val_iter)
+            batch = shard_batch(self.mesh, host_batch)
+            losses = self._eval_step(self.train_state["params"],
+                                     self.train_state["state"], batch)
+            self.evaluator.accumulate(losses, mode="val")
+        tracked = self.evaluator.get_averaged_losses("val", reset=True)
+        self._log(self.val_writer, tracked)
+        return tracked
+
+    def _log(self, writer, losses):
+        if writer is None:
+            return
+        writer.add_scalar("lr", self.lr, self.step)
+        for k, v in losses.items():
+            writer.add_scalar(k, float(v), self.step)
+
+    def save_model(self):
+        save_path = os.path.join(self.opt.log_path, self.opt.model_name, "models")
+        os.makedirs(save_path, exist_ok=True)
+        host = jax.tree.map(np.asarray, {
+            "params": self.train_state["params"],
+            "state": self.train_state["state"],
+        })
+        dest = os.path.join(save_path, f"epoch_{self.epoch}", "checkpoint.npz")
+        save_checkpoint(dest, host)
+        print(f"saved {dest}")
