@@ -48,6 +48,8 @@ def _slope_time(step_fn, init_carry, n_lo=N_LO, n_hi=N_HI):
 
 
 def bench_jax(precision: str, batch: int):
+    """precision 'default' benches the serving config (bf16 weights +
+    activations); 'highest' benches the f32 checkpoint-parity config."""
     import jax
     import jax.numpy as jnp
 
@@ -57,11 +59,16 @@ def bench_jax(precision: str, batch: int):
     layers.set_default_precision(precision)
     net = FootprintNetwork(depth=34)
     params, state = net.init(jax.random.PRNGKey(0))
+    bf16 = precision == "default"
+    if bf16:
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a is not None else None, params)
 
     @jax.jit
     def step(image):
-        out, _ = net.apply(params, state, image, train=False)
-        o = out["1/1"]
+        inp = image.astype(jnp.bfloat16) if bf16 else image
+        out, _ = net.apply(params, state, inp, train=False)
+        o = out["1/1"].astype(jnp.float32)
         # feed a scalar of the output back into the next input: forces the
         # chain to execute serially on device, and returns a 1-element probe
         nxt = image * 0.999 + 1e-4 * jnp.mean(o)

@@ -65,11 +65,10 @@ def skip_decoder_apply(params, state, features, *, apply_sigmoid, train=False):
     outputs["1/4"] = blocks.out_conv_block(params["outconv2"], x, scale=4, apply_sigmoid=apply_sigmoid)
     x, ns["block4"] = blocks.up_concat_block(params["block4"], state["block4"], x, features[-5], train=train)
     outputs["1/2"] = blocks.out_conv_block(params["outconv3"], x, scale=2, apply_sigmoid=apply_sigmoid)
-    x = upsample_nearest(x, 2)
-    x, ns["outconv4_conv"] = blocks.conv_block(
-        params["outconv4_conv"], state["outconv4_conv"], x, train=train
+    outputs["1/1"], ns["outconv4_conv"] = blocks.decoder_tail(
+        params["outconv4_conv"], state["outconv4_conv"],
+        params["outconv4_out"], x, apply_sigmoid=apply_sigmoid, train=train
     )
-    outputs["1/1"] = blocks.out_conv_block(params["outconv4_out"], x, scale=1, apply_sigmoid=apply_sigmoid)
     return outputs, ns
 
 

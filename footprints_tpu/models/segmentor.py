@@ -128,11 +128,11 @@ def seg_decoder_apply(params, state, features, *, use_psp, train=False):
     outputs.append(blocks.out_conv_block(params["outconv2"], x, scale=1, apply_sigmoid=False))
     x, ns["block4"] = blocks.up_concat_block(params["block4"], state["block4"], x, features[-5], train=train)
     outputs.append(blocks.out_conv_block(params["outconv3"], x, scale=1, apply_sigmoid=False))
-    x = upsample_nearest(x, 2)
-    x, ns["outconv4_conv"] = blocks.conv_block(
-        params["outconv4_conv"], state["outconv4_conv"], x, train=train
+    out_full, ns["outconv4_conv"] = blocks.decoder_tail(
+        params["outconv4_conv"], state["outconv4_conv"],
+        params["outconv4_out"], x, apply_sigmoid=False, train=train
     )
-    outputs.append(blocks.out_conv_block(params["outconv4_out"], x, scale=1, apply_sigmoid=False))
+    outputs.append(out_full)
     return outputs, ns
 
 

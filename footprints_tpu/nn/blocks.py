@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from . import init as nn_init
-from .layers import batch_norm, conv2d, elu, reflect_pad, relu, sigmoid, upsample_bilinear, upsample_nearest
+from .layers import (batch_norm, conv2d, conv3x3_reflect, elu, reflect_pad,
+                     relu, sigmoid, upsample_bilinear, upsample_nearest)
 
 
 def init_conv_block(key, c_in, c_out, *, use_bn=False):
@@ -66,13 +67,71 @@ def init_up_concat_block_asym(key, c_in, c_out, skip_ch, *, use_bn=False):
     return {"pre": pre_p, "post": post_p}, {"pre": pre_s, "post": post_s}
 
 
-def up_concat_block(params, state, x, skip, *, use_bn=False, use_elu=True, train=False):
-    """pre-conv -> nearest x2 upsample -> channel-concat skip -> post-conv."""
-    x, pre_s = conv_block(params["pre"], state["pre"], x, use_bn=use_bn, use_elu=use_elu, train=train)
-    x = upsample_nearest(x, 2)
-    x = jnp.concatenate([x, skip], axis=-1)
-    x, post_s = conv_block(params["post"], state["post"], x, use_bn=use_bn, use_elu=use_elu, train=train)
+# spatial size (pixels of the upsampled map) above which the s2d fast path
+# wins over the naive composition; below it the s2d relayouts dominate
+_S2D_MIN_PIXELS = 96 * 320
+
+
+def up_concat_block(params, state, x, skip, *, use_bn=False, use_elu=True,
+                    train=False, fast=None):
+    """pre-conv -> nearest x2 upsample -> channel-concat skip -> post-conv.
+
+    fast=True (default) runs the post-block in space-to-depth layout
+    (see ops/s2d.py): the first conv decomposes linearly as
+    conv(concat(up(x), skip), w) = up_conv_to_s2d(x, w[:c]) +
+    s2d_conv(s2d(skip), w[c:]), the second conv stays in s2d, and the
+    result is unpacked once.  No upsampled/concatenated tensor is ever
+    materialized, and the convs run at full 4x channel width.
+    Numerically identical up to fp summation order (golden-tested).
+    """
+    from ..ops.s2d import (depth_to_space, s2d_conv3x3_reflect,
+                           space_to_depth, up_conv_to_s2d)
+
+    act = elu if use_elu else relu
+    x, pre_s = conv_block(params["pre"], state["pre"], x, use_bn=use_bn,
+                          use_elu=use_elu, train=train)
+    post_s = dict(state["post"])
+    if fast is None:
+        fast = skip.shape[1] * skip.shape[2] >= _S2D_MIN_PIXELS
+    if fast and not use_bn:
+        c_up = x.shape[-1]
+        conv1 = params["post"]["conv1"]
+        y = up_conv_to_s2d(x, conv1["w"][:, :, :c_up, :]) \
+            + s2d_conv3x3_reflect(space_to_depth(skip),
+                                  conv1["w"][:, :, c_up:, :])
+        y = act(y + jnp.tile(conv1["b"], 4))
+        conv2 = params["post"]["conv2"]
+        y = act(s2d_conv3x3_reflect(y, conv2["w"], conv2["b"]))
+        x = depth_to_space(y)
+    else:
+        x = upsample_nearest(x, 2)
+        x = jnp.concatenate([x, skip], axis=-1)
+        x, post_s = conv_block(params["post"], state["post"], x, use_bn=use_bn,
+                               use_elu=use_elu, train=train)
     return x, {"pre": pre_s, "post": post_s}
+
+
+def decoder_tail(conv_params, conv_state, out_params, x, *, apply_sigmoid,
+                 out_scale=1, use_elu=True, train=False):
+    """The decoder tail — nearest_up_2x -> ConvBlock -> OutConvBlock — run
+    entirely in space-to-depth layout (full 128-lane channel widths at half
+    spatial resolution; see ops/s2d.py).  Only the final 1-2 channel output
+    is unpacked to full resolution.  Numerically identical to the naive
+    composition up to fp order."""
+    from ..ops.s2d import depth_to_space, s2d_conv3x3_reflect, up_conv_to_s2d
+
+    act = elu if use_elu else relu
+    c1, c2 = conv_params["conv1"], conv_params["conv2"]
+    y = act(up_conv_to_s2d(x, c1["w"], c1["b"]))
+    y = act(s2d_conv3x3_reflect(y, c2["w"], c2["b"]))
+    oc = out_params["conv1"]
+    y = s2d_conv3x3_reflect(y, oc["w"], oc["b"])
+    if apply_sigmoid:
+        y = sigmoid(y)
+    y = depth_to_space(y)
+    if out_scale != 1:
+        y = upsample_bilinear(y, out_scale)
+    return y, dict(conv_state)
 
 
 def init_out_conv_block(key, c_in, c_out):

@@ -1,0 +1,155 @@
+"""Space-to-depth (s2d) execution of the decoder tail.
+
+Problem: the decoder tail runs 3x3 convs over [N,192,640,32] tensors.  With
+32 channels in the minor (lane) dimension, 75% of every 128-wide vector
+transaction is padding — measured ~5% of MXU peak.
+
+Fix: represent the full-resolution tensor as its 2x2 space-to-depth packing
+[N,H/2,W/2,4C] (channel layout phase-major: (a,b) in row-major order, i.e.
+channels [(0,0)C | (0,1)C | (1,0)C | (1,1)C], where full[2i+a, 2j+b, c] =
+s2d[i, j, (2a+b)*C+c]).  Then:
+
+  * `up_conv_to_s2d`   — conv3x3(reflect_pad(nearest_up_2x(x))) with the
+    output LEFT IN s2d layout: a single 3x3 VALID conv over edge-padded x
+    with a kernel whose 4 co-groups hold the phase-summed 2x2 kernels at
+    offset (a, b) (see ops/upconv.py for the phase identity);
+  * `s2d_conv3x3_reflect` — a full-res 3x3 stride-1 conv with reflect(1)
+    padding, computed entirely in s2d layout: one 3x3 conv with a
+    [3,3,4C,4Co] kernel assembled from w (tap (dy,dx) of output phase (a,b)
+    reads input phase ((a+dy-1)%2,(b+dx-1)%2) at s2d offset
+    (floor((a+dy-1)/2), ...)); borders are constructed explicitly so they
+    match full-res reflect padding exactly;
+  * `depth_to_space` — unpack [N,H,W,4C] -> [N,2H,2W,C] (only applied to the
+    tiny final output).
+
+All transforms are numerically identical to the naive full-res ops up to fp
+summation order (tests/test_fast_ops.py).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.layers import get_default_precision
+
+
+def _conv(x, w, b=None, *, precision=None):
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((0, 0), (0, 0)), dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+        precision=precision or get_default_precision())
+    if b is not None:
+        y = y + b
+    return y.astype(x.dtype)
+
+
+def space_to_depth(x):
+    """[N,2H,2W,C] -> [N,H,W,4C], phase-major layout."""
+    n, h2, w2, c = x.shape
+    h, w = h2 // 2, w2 // 2
+    x = x.reshape(n, h, 2, w, 2, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))  # [N,H,W,2,2,C]
+    return x.reshape(n, h, w, 4 * c)
+
+
+def depth_to_space(x):
+    """[N,H,W,4C] phase-major -> [N,2H,2W,C]."""
+    n, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(n, h, w, 2, 2, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))  # [N,H,2,W,2,C]
+    return x.reshape(n, 2 * h, 2 * w, c)
+
+
+def _phase_embedded_kernel(w):
+    """[3,3,ci,co] -> [3,3,ci,4co]: phase (a,b)'s 2x2 summed kernel embedded
+    at kernel offset (a,b).  (See ops/upconv.py for the summing identity.)"""
+    zero_row = jnp.zeros_like(w[0:1])
+    v = {
+        0: jnp.concatenate([w[0:1], w[1:2] + w[2:3], zero_row], axis=0),
+        1: jnp.concatenate([zero_row, w[0:1] + w[1:2], w[2:3]], axis=0),
+    }
+    outs = []
+    for a in range(2):
+        rows = v[a]  # [3,3,ci,co] with one zero row
+        zero_col = jnp.zeros_like(rows[:, 0:1])
+        h0 = jnp.concatenate([rows[:, 0:1], rows[:, 1:2] + rows[:, 2:3],
+                              zero_col], axis=1)
+        h1 = jnp.concatenate([zero_col, rows[:, 0:1] + rows[:, 1:2],
+                              rows[:, 2:3]], axis=1)
+        outs += [h0, h1]
+    return jnp.concatenate(outs, axis=-1)  # [3,3,ci,4co]
+
+
+def up_conv_to_s2d(x, w, b=None, *, precision=None):
+    """conv3x3(reflect_pad(nearest_up_2x(x))), output in s2d layout.
+
+    x [N,H,W,C], w [3,3,C,Co] -> [N,H,W,4Co].
+    """
+    kernel = _phase_embedded_kernel(w)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    y = _conv(xp, kernel, precision=precision)
+    if b is not None:
+        y = y + jnp.tile(b, 4)
+    return y
+
+
+def _s2d_kernel(w):
+    """[3,3,ci,co] -> [3,3,4ci,4co] s2d conv kernel."""
+    ci, co = w.shape[2], w.shape[3]
+    dtype = w.dtype
+    k = jnp.zeros((3, 3, 4 * ci, 4 * co), dtype)
+    for a in range(2):
+        for dy in range(3):
+            p = a + dy - 1
+            di = (p - (p % 2)) // 2  # floor division toward -inf
+            alpha = p % 2
+            for b_ in range(2):
+                for dx in range(3):
+                    q = b_ + dx - 1
+                    dj = (q - (q % 2)) // 2
+                    beta = q % 2
+                    out_g = 2 * a + b_
+                    in_g = 2 * alpha + beta
+                    k = k.at[di + 1, dj + 1,
+                             in_g * ci:(in_g + 1) * ci,
+                             out_g * co:(out_g + 1) * co].add(w[dy, dx])
+    return k
+
+
+def _s2d_reflect_pad(x, c):
+    """Pad an s2d tensor [N,H,W,4C] by one s2d row/col on each side such
+    that it corresponds to a 2-pixel reflect pad of the full-res image
+    (of which only the outermost-tapped pixels are ever read)."""
+    # channel groups: g0=(0,0), g1=(0,1), g2=(1,0), g3=(1,1)
+    a0 = x[..., : 2 * c]      # phase rows a=0 (groups g0,g1)
+    a1 = x[..., 2 * c:]       # phase rows a=1 (groups g2,g3)
+    # top s2d pad row: full rows (-2,-1) = reflect -> (2,1)
+    top = jnp.concatenate([a0[:, 1:2], a1[:, 0:1]], axis=-1)
+    # bottom s2d pad row: full rows (2H, 2H+1) -> reflect (2H-2, 2H-3)
+    bottom = jnp.concatenate([a0[:, -1:], a1[:, -2:-1]], axis=-1)
+    x = jnp.concatenate([top, x, bottom], axis=1)
+
+    # columns: groups by b: b0 = (g0, g2), b1 = (g1, g3)
+    g0, g1, g2, g3 = (x[..., i * c:(i + 1) * c] for i in range(4))
+    # left s2d pad col: full cols (-2,-1) -> (2,1): b0 parts from col 1,
+    # b1 parts from col 0
+    left = jnp.concatenate([g0[:, :, 1:2], g1[:, :, 0:1],
+                            g2[:, :, 1:2], g3[:, :, 0:1]], axis=-1)
+    right = jnp.concatenate([g0[:, :, -1:], g1[:, :, -2:-1],
+                             g2[:, :, -1:], g3[:, :, -2:-1]], axis=-1)
+    return jnp.concatenate([left, x, right], axis=2)
+
+
+def s2d_conv3x3_reflect(x, w, b=None, *, precision=None):
+    """Full-res conv3x3(reflect_pad(X)) computed in s2d layout.
+
+    x [N,H,W,4C] (s2d of [N,2H,2W,C]), w [3,3,C,Co] -> [N,H,W,4Co].
+    """
+    c = w.shape[2]
+    kernel = _s2d_kernel(w)
+    xp = _s2d_reflect_pad(x, c)
+    y = _conv(xp, kernel, precision=precision)
+    if b is not None:
+        y = y + jnp.tile(b, 4)
+    return y

@@ -1,0 +1,87 @@
+"""Fused nearest-upsample + reflect-pad + 3x3 conv (the decoder's hot op).
+
+The reference decoder does `conv3x3(reflect_pad(nearest_up_2x(x)))` at every
+up-stage (/root/reference/footprints/network.py:141-158, 60-101).  On TPU the
+naive composition materializes the 2x-upsampled tensor (4x HBM write+read)
+plus an unaligned (W*2+2)-wide padded copy — measured 16 ms of a 42 ms
+FootprintNetwork forward at 192x640.
+
+Because nearest-up duplicates pixels, the 3x3 conv on the upsampled image is
+EXACTLY four 2x2 convs on the low-res input with phase-summed kernels:
+
+  out[2i+a, 2j+b] = sum_{dy,dx} w[dy,dx] * up[2i+a+dy-1, 2j+b+dx-1]
+  up[p, q] = x[p//2, q//2]
+  -> phase a=0 rows tap x[i-1], x[i] with weights (w[0], w[1]+w[2]),
+     phase a=1 rows tap x[i], x[i+1] with weights (w[0]+w[1], w[2]);
+     columns identically.
+
+Border semantics: the reference reflect-pads the UPSAMPLED tensor; its
+out-of-range row -1 equals up-row 1 which is x[0] — i.e. edge replication of
+x.  So edge-pad x by 1, run the four 2x2 valid convs over offset slices, and
+interleave the phases (depth-to-space).  Numerically identical to the naive
+composition (verified to fp tolerance in tests/test_fast_ops.py).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.layers import get_default_precision
+
+
+def _phase_kernels(w):
+    """w [3,3,ci,co] -> [2,2] grid of 2x2 kernels, indexed [a][b]."""
+    # vertical: phase 0 -> rows (-1, 0): (w0, w1+w2); phase 1 -> (0, +1):
+    # (w0+w1, w2)
+    v = [
+        (w[0:1], w[1:2] + w[2:3]),
+        (w[0:1] + w[1:2], w[2:3]),
+    ]
+    kernels = [[None, None], [None, None]]
+    for a in range(2):
+        rows = jnp.concatenate(v[a], axis=0)  # [2,3,ci,co]
+        for b in range(2):
+            if b == 0:
+                cols = jnp.concatenate(
+                    [rows[:, 0:1], rows[:, 1:2] + rows[:, 2:3]], axis=1)
+            else:
+                cols = jnp.concatenate(
+                    [rows[:, 0:1] + rows[:, 1:2], rows[:, 2:3]], axis=1)
+            kernels[a][b] = cols  # [2,2,ci,co]
+    return kernels
+
+
+def conv3x3_on_nearest_up(x, w, b=None, *, precision=None):
+    """Compute conv3x3(reflect_pad(nearest_up_2x(x))) without upsampling.
+
+    x [N,H,W,C], w [3,3,C,Co] -> [N,2H,2W,Co].
+    2.25x fewer MACs and ~4x less HBM traffic than the naive composition.
+    """
+    n, h, w_, c = x.shape
+    co = w.shape[-1]
+    precision = precision or get_default_precision()
+    kernels = _phase_kernels(w)
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    dn = jax.lax.conv_dimension_numbers(xp.shape, (2, 2, c, co),
+                                        ("NHWC", "HWIO", "NHWC"))
+
+    phases = []
+    for a in range(2):
+        row = []
+        for bph in range(2):
+            src = xp[:, a:a + h + 1, bph:bph + w_ + 1, :]
+            y = jax.lax.conv_general_dilated(
+                src, kernels[a][bph], (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=dn, preferred_element_type=jnp.float32,
+                precision=precision).astype(x.dtype)
+            row.append(y)  # [N,H,W,Co]
+        phases.append(row)
+
+    # interleave: out[2i+a, 2j+b] = phases[a][b][i, j]
+    stacked = jnp.stack([jnp.stack(r, axis=0) for r in phases], axis=0)
+    # [2,2,N,H,W,Co] -> [N,H,2,W,2,Co] -> [N,2H,2W,Co]
+    out = jnp.transpose(stacked, (2, 3, 0, 4, 1, 5))
+    out = out.reshape(n, 2 * h, 2 * w_, co)
+    if b is not None:
+        out = out + b
+    return out
