@@ -46,6 +46,18 @@ class FootprintsDataset:
     # -- shared loading helpers ------------------------------------------------
 
     def load_and_resize_image(self, path, do_flip, method=LANCZOS):
+        if method is LANCZOS and os.environ.get("FOOTPRINTS_NATIVE_RESIZE"):
+            # native/ fp_image resampler: byte-exact vs PIL LANCZOS
+            # (tests/test_native.py); lets PIL-free hosts run the pipeline
+            from .. import native
+
+            if native.available():
+                arr = np.asarray(Image.open(path).convert("RGB"))
+                out = native.resize_lanczos(arr, self.height, self.width)
+                image = Image.fromarray(out)
+                if do_flip:
+                    image = image.transpose(method=Image.FLIP_LEFT_RIGHT)
+                return image
         image = Image.open(path).resize((self.width, self.height), resample=method)
         if do_flip:
             image = image.transpose(method=Image.FLIP_LEFT_RIGHT)

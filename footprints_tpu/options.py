@@ -50,6 +50,11 @@ class Options:
                                         "contract: 34)")
         p.add_argument("--split_root", type=str, default="splits",
                        help="root directory of split txt files")
+        p.add_argument("--debug_nans", action="store_true",
+                       help="enable jax NaN checking (recompiles per-op; "
+                            "debugging only)")
+        p.add_argument("--profile_dir", type=str, default=None,
+                       help="write a jax.profiler trace of steps 10-15 here")
 
         # Inference
         p.add_argument("--inference_data_type", choices=["kitti", "matterport"],

@@ -177,7 +177,7 @@ class Trainer:
 
             if self.step % self.opt.log_freq == 0:
                 tracked = self.evaluator.get_averaged_losses("train", reset=True)
-                self._log(self.train_writer, tracked)
+                self._log(self.train_writer, tracked, batch)
                 val_losses = self.run_validation()
                 print(f"Epoch {self.epoch} -- Step {self.step} -- "
                       f"Train Loss {tracked.get('loss', float('nan')):.4f} -- "
@@ -187,6 +187,7 @@ class Trainer:
 
     def run_validation(self, batches=None):
         batches = batches or self.opt.val_batches
+        batch = None
         for _ in range(batches):
             try:
                 host_batch = next(self.val_iter)
@@ -198,15 +199,33 @@ class Trainer:
                                      self.train_state["state"], batch)
             self.evaluator.accumulate(losses, mode="val")
         tracked = self.evaluator.get_averaged_losses("val", reset=True)
-        self._log(self.val_writer, tracked)
+        self._log(self.val_writer, tracked, batch)
         return tracked
 
-    def _log(self, writer, losses):
+    def _log(self, writer, losses, batch=None, num_outputs=10):
         if writer is None:
             return
         writer.add_scalar("lr", self.lr, self.step)
         for k, v in losses.items():
             writer.add_scalar(k, float(v), self.step)
+        if batch is not None and getattr(self.opt, "log_images", False):
+            # [image | gt-mask | sigmoid pred] panels (reference logger.py)
+            outs, _ = jax.jit(
+                lambda p, st, im: self.net.apply(p, st, im, train=False)
+            )(self.train_state["params"], self.train_state["state"],
+              batch["image"])
+            pred = np.asarray(jax.nn.sigmoid(outs[3][..., 0]))
+            import matplotlib.pyplot as plt
+
+            cm = plt.get_cmap("plasma")
+            n = min(num_outputs, pred.shape[0])
+            for i in range(n):
+                img = np.asarray(batch["image"][i])
+                gt = cm(np.asarray(batch["ground_mask"][i]))[..., :3]
+                pd = cm(pred[i])[..., :3]
+                strip = np.concatenate([img, gt, pd], axis=1)
+                writer.add_image(f"panel/{i}",
+                                 np.transpose(strip, (2, 0, 1)), self.step)
 
     def save_model(self):
         save_path = os.path.join(self.opt.log_path, self.opt.model_name, "models")

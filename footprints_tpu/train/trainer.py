@@ -38,6 +38,8 @@ class TrainManager:
     def __init__(self, options, devices=None):
         print("---------------\nsetting up...")
         self.opt = options
+        if getattr(options, "debug_nans", False):
+            jax.config.update("jax_debug_nans", True)
         self.config = load_config(self.opt.config_path)
 
         self.train_loader, self.val_loader = self.create_dataloaders()
@@ -139,8 +141,13 @@ class TrainManager:
         device_iter = DevicePrefetcher(
             iter(self.train_loader), lambda b: self._put(b), depth=2)
 
+        profile_dir = getattr(self.opt, "profile_dir", None)
         last_batch = None
         for batch_idx, batch in enumerate(device_iter):
+            if profile_dir and self.step == 10:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir and self.step == 15:
+                jax.profiler.stop_trace()
             before = time.time()
             self.train_state, metrics = self.train_step(self.train_state, batch)
             self.evaluator.accumulate(
