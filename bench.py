@@ -1,16 +1,18 @@
-"""Benchmark: FootprintNetwork inference throughput on one TPU chip.
+"""Benchmark: FootprintNetwork on one TPU chip.
 
-Headline: images/sec/chip at KITTI resolution 192x640 (batched, steady
-state), plus p50 single-image latency, vs a PyTorch-CPU implementation of
-the reference network (BASELINE.md north-star: >=10x torch-CPU single-image
-latency).
+Headline: images/sec/chip at KITTI resolution 192x640 (bf16 serving config,
+batched), plus single-image latency, f32-parity throughput, and the
+mixed-precision training-step throughput — all vs a PyTorch-CPU
+implementation of the reference network (BASELINE.md north-star: >=10x
+torch-CPU single-image latency).
 
-Timing method: through the axon TPU tunnel `block_until_ready()` does not
-actually synchronize, so we time N chained executions (each step's input
-depends on the previous output, forcing serial device execution) ending with
-a tiny host fetch, at two different N, and take the slope — this cancels the
-fixed tunnel round-trip cost.  Validated against a known-FLOP matmul
-(8192^3 bf16 measures ~186 TFLOP/s on v5e, consistent with peak).
+Timing method: through the axon TPU tunnel neither ``block_until_ready``
+nor per-call wall time is reliable (no sync / large per-dispatch cost), so
+every measurement runs the iteration loop ON DEVICE with ``lax.fori_loop``
+over a RUNTIME trip count — one dispatch + one tiny fetch regardless of N,
+one compiled executable per config — at two lengths, taking the slope
+(fixed costs cancel).  Validated against a known-FLOP matmul (8192^3 bf16
+measures ~186 TFLOP/s on v5e, consistent with peak).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
@@ -28,22 +30,26 @@ import numpy as np
 
 H, W = 192, 640
 BATCH = 16
-N_LO, N_HI = 2, 12
 
 
-def _slope_time(step_fn, init_carry, n_lo=N_LO, n_hi=N_HI):
-    """Seconds per iteration via two chained runs (fixed costs cancel)."""
+def _time_loop(chain, args, n_lo, n_hi):
+    """Seconds per iteration of an on-device fori_loop chain.
+
+    `chain(*args, n)` runs n iterations on device (n is a runtime value, so
+    both lengths share ONE compiled executable) and returns a tiny probe.
+    """
+    import jax.numpy as jnp
 
     def run(n):
-        carry = init_carry
         t0 = time.perf_counter()
-        for _ in range(n):
-            carry, probe = step_fn(carry)
+        probe = chain(*args, jnp.int32(n))
         _ = np.asarray(probe)  # tiny fetch -> true synchronization
         return time.perf_counter() - t0
 
-    run(1)  # warm
-    t_lo, t_hi = run(n_lo), run(n_hi)
+    run(1)  # compile + warm
+    run(n_lo)
+    t_lo = run(n_lo)
+    t_hi = run(n_hi)
     return max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
 
 
@@ -65,18 +71,61 @@ def bench_jax(precision: str, batch: int):
             lambda a: a.astype(jnp.bfloat16) if a is not None else None, params)
 
     @jax.jit
-    def step(image):
-        inp = image.astype(jnp.bfloat16) if bf16 else image
-        out, _ = net.apply(params, state, inp, train=False)
-        o = out["1/1"].astype(jnp.float32)
-        # feed a scalar of the output back into the next input: forces the
-        # chain to execute serially on device, and returns a 1-element probe
-        nxt = image * 0.999 + 1e-4 * jnp.mean(o)
-        return nxt, jnp.sum(o[0, 0, 0])
+    def chain(x, n):
+        def body(_, c):
+            inp = c.astype(jnp.bfloat16) if bf16 else c
+            out, _ = net.apply(params, state, inp, train=False)
+            o = out["1/1"].astype(jnp.float32)
+            # output feeds the next input: forces serial execution
+            return c * 0.999 + 1e-4 * jnp.mean(o)
+
+        c = jax.lax.fori_loop(0, n, body, x)
+        return jnp.sum(c[0, 0, 0])
 
     x = jnp.asarray(np.random.RandomState(0).rand(batch, H, W, 3), jnp.float32)
-    sec_per_iter = _slope_time(lambda c: step(c), x)
-    return batch / sec_per_iter, sec_per_iter
+    n_lo, n_hi = (2, 10) if batch > 4 else (8, 72)
+    sec = _time_loop(chain, (x,), n_lo, n_hi)
+    return batch / sec, sec
+
+
+def bench_train(batch=12):
+    """Mixed-precision training-step throughput (imgs/s) on one chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from footprints_tpu.models import FootprintNetwork
+    from footprints_tpu.nn import layers
+    from footprints_tpu.train import TrainStepConfig, init_train_state
+    from footprints_tpu.train.step import build_train_step
+
+    layers.set_default_precision("default")
+    net = FootprintNetwork(depth=34)
+    rng = np.random.RandomState(0)
+    b = {k: jnp.asarray(np.asarray(v), jnp.float32) for k, v in {
+        "image": rng.rand(batch, H, W, 3),
+        "depth": rng.rand(batch, H, W) * 20,
+        "visible_ground": rng.rand(batch, H, W) > 0.5,
+        "all_ground": rng.rand(batch, H, W) > 0.4,
+        "ground_depth": rng.rand(batch, H, W) * 15,
+        "depth_mask": rng.rand(batch, H, W) > 0.6,
+        "moving_object_mask": np.zeros((batch, H, W))}.items()}
+    cfg = TrainStepConfig(steps_per_epoch=1000, compute_dtype="bfloat16")
+    ts = init_train_state(net, jax.random.PRNGKey(0), cfg)
+    raw_step = build_train_step(net, cfg, mesh=False)  # unjitted
+
+    @jax.jit
+    def chain(ts, n):
+        def body(_, carry):
+            carry, metrics = raw_step(carry, b)
+            return carry
+
+        carry = jax.lax.fori_loop(0, n, body, ts)
+        # the probe MUST depend on the updated params — returning only the
+        # step counter lets XLA dead-code-eliminate the whole model
+        return jax.tree.leaves(carry["params"])[0].ravel()[0]
+
+    sec = _time_loop(chain, (ts,), 1, 5)
+    return batch / sec
 
 
 def bench_torch_cpu():
@@ -95,7 +144,7 @@ def bench_torch_cpu():
     with torch.no_grad():
         net(x)  # warmup
         lats = []
-        for _ in range(3):
+        for _ in range(2):
             t0 = time.perf_counter()
             net(x)
             lats.append(time.perf_counter() - t0)
@@ -105,10 +154,17 @@ def bench_torch_cpu():
 def main():
     import jax
 
+    # persistent compilation cache: repeat bench runs skip ~5 min of compiles
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/fp_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     device = jax.devices()[0]
     imgs_sec_bf16, _ = bench_jax("default", BATCH)
     imgs_sec_f32, _ = bench_jax("highest", BATCH)
     _, lat1_bf16 = bench_jax("default", 1)
+    train_imgs_sec = bench_train()
     torch_p50 = bench_torch_cpu()
 
     vs_baseline = (torch_p50 / lat1_bf16) if torch_p50 else None
@@ -120,6 +176,7 @@ def main():
         "device": str(device),
         "p50_latency_ms_bf16": round(lat1_bf16 * 1e3, 3),
         "imgs_per_sec_f32": round(imgs_sec_f32, 2),
+        "train_imgs_per_sec_bf16": round(train_imgs_sec, 2),
         "torch_cpu_p50_ms": round(torch_p50 * 1e3, 1) if torch_p50 else None,
         "batch": BATCH,
     }

@@ -44,9 +44,13 @@ def conv2d(x, w, b=None, *, stride=1, padding=0, precision=None):
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
     dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    # MXU accumulation is f32 either way; only request an f32 *output* for
+    # f32 inputs (a f32 preferred type on bf16 inputs breaks the conv
+    # transpose rule under autodiff, and we cast back to x.dtype anyway)
+    pet = jnp.float32 if x.dtype == jnp.float32 else None
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=stride, padding=padding, dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pet,
         precision=precision or _DEFAULT_PRECISION,
     )
     if b is not None:

@@ -34,9 +34,10 @@ from ..nn.layers import get_default_precision
 
 def _conv(x, w, b=None, *, precision=None):
     dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    pet = jnp.float32 if x.dtype == jnp.float32 else None
     y = jax.lax.conv_general_dilated(
         x, w, (1, 1), ((0, 0), (0, 0)), dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pet,
         precision=precision or get_default_precision())
     if b is not None:
         y = y + b

@@ -50,6 +50,10 @@ class Options:
                                         "contract: 34)")
         p.add_argument("--split_root", type=str, default="splits",
                        help="root directory of split txt files")
+        p.add_argument("--compute_dtype", type=str, default="float32",
+                       choices=["float32", "bfloat16"],
+                       help="forward/backward compute dtype; bfloat16 = "
+                            "mixed precision (f32 master params)")
         p.add_argument("--debug_nans", action="store_true",
                        help="enable jax NaN checking (recompiles per-op; "
                             "debugging only)")

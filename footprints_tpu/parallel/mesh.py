@@ -44,9 +44,10 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_sharded(mesh: Mesh, *, spatial_dim: int | None = None) -> NamedSharding:
-    """Sharding for a batch tensor: dim 0 over `data`, optionally an image
-    dim over `spatial` (for [N, H, W, C] pass spatial_dim=1)."""
+def batch_sharded(mesh: Mesh, *, spatial_dim: int | None = 1) -> NamedSharding:
+    """Sharding for a batch tensor: dim 0 over `data` and — when the mesh has
+    a `spatial` axis — an image dim (default 1 = H) over `spatial`.  XLA's
+    spatial partitioner inserts conv halo exchanges automatically."""
     if SPATIAL_AXIS in mesh.axis_names and spatial_dim is not None:
         spec = [None] * (spatial_dim + 1)
         spec[0] = DATA_AXIS

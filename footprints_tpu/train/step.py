@@ -28,6 +28,10 @@ class TrainStepConfig:
     scheduler_gamma: float = 0.1
     steps_per_epoch: int = 1  # used to convert the epoch-based StepLR to steps
     loss: LossConfig = LossConfig()
+    # 'bfloat16' = mixed precision: master params, grads and optimizer state
+    # stay f32; the forward/backward compute graph runs in bf16 (2-3x step
+    # throughput on TPU).  None/'float32' = full f32 (reference parity).
+    compute_dtype: str | None = None
 
 
 def make_lr_schedule(config: TrainStepConfig):
@@ -66,9 +70,19 @@ def build_train_step(net, config: TrainStepConfig, mesh=None):
     replicated; XLA all-reduces gradients over ICI.
     """
     optimizer = make_optimizer(config)
+    mixed = config.compute_dtype in ("bfloat16", "bf16")
 
     def loss_fn(params, state, batch):
-        outputs, new_state = net.apply(params, state, batch["image"], train=True)
+        if mixed:
+            # bf16 compute copy of the params; grads flow back to the f32
+            # masters (loss stays f32 so metric semantics are unchanged)
+            fwd_params = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16) if a is not None else None,
+                params)
+            image = batch["image"].astype(jnp.bfloat16)
+        else:
+            fwd_params, image = params, batch["image"]
+        outputs, new_state = net.apply(fwd_params, state, image, train=True)
         losses = compute_losses(outputs, batch, config.loss)
         return losses["loss"], (new_state, losses)
 
@@ -90,6 +104,8 @@ def build_train_step(net, config: TrainStepConfig, mesh=None):
         metrics["lr"] = make_lr_schedule(config)(train_state["step"])
         return new_train_state, metrics
 
+    if mesh is False:  # raw, unjitted step (for benchmarking under lax.scan)
+        return step_fn
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
 

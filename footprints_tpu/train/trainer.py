@@ -74,6 +74,7 @@ class TrainManager:
             learning_rate=self.opt.lr,
             steps_per_epoch=steps_per_epoch,
             loss=loss_config,
+            compute_dtype=getattr(self.opt, "compute_dtype", None),
         )
         self.train_step = build_train_step(
             self.model_manager.net, self.step_config, mesh=self.mesh)

@@ -105,6 +105,26 @@ def test_data_parallel_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_mixed_precision_step_matches_f32():
+    """bf16 compute with f32 master params: loss close to f32, params
+    updated, optimizer state stays f32."""
+    net = TinyNet()
+    batch = {k: jnp.asarray(v) for k, v in _make_batch(2, 16, 16).items()}
+
+    cfg32 = TrainStepConfig(learning_rate=1e-3, steps_per_epoch=100)
+    ts32 = init_train_state(net, jax.random.PRNGKey(0), cfg32)
+    _, m32 = build_train_step(net, cfg32)(ts32, batch)
+
+    cfg16 = TrainStepConfig(learning_rate=1e-3, steps_per_epoch=100,
+                            compute_dtype="bfloat16")
+    ts16 = init_train_state(net, jax.random.PRNGKey(0), cfg16)
+    ts16, m16 = build_train_step(net, cfg16)(ts16, batch)
+
+    assert abs(float(m32["loss"]) - float(m16["loss"])) < 0.05
+    for leaf in jax.tree.leaves(ts16["params"]):
+        assert leaf.dtype == jnp.float32  # master params stay f32
+
+
 def test_eval_step_runs():
     net = TinyNet()
     config = TrainStepConfig()
