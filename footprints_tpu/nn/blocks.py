@@ -17,8 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from . import init as nn_init
-from .layers import (batch_norm, conv2d, conv3x3_reflect, elu, reflect_pad,
-                     relu, sigmoid, upsample_bilinear, upsample_nearest)
+from .layers import (batch_norm, conv2d, elu, reflect_pad, relu, sigmoid,
+                     upsample_bilinear, upsample_nearest)
 
 
 def init_conv_block(key, c_in, c_out, *, use_bn=False):

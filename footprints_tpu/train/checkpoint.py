@@ -27,12 +27,14 @@ def _flatten(tree, prefix, out):
             out[prefix + "/__empty_dict__"] = np.zeros(0)
         for k, v in tree.items():
             assert "/" not in str(k), f"key {k!r} contains '/'"
+            assert str(k) not in ("__list__", "__tuple__", "__empty_dict__",
+                                  "__none_keys__"), f"reserved key {k!r}"
             _flatten(v, f"{prefix}/{k}" if prefix else str(k), out)
     elif isinstance(tree, (list, tuple)):
         tag = "__list__" if isinstance(tree, list) else "__tuple__"
-        out[f"{prefix}/{tag}"] = np.asarray(len(tree))
+        out[f"{prefix}/{tag}" if prefix else tag] = np.asarray(len(tree))
         for i, v in enumerate(tree):
-            _flatten(v, f"{prefix}/{i}", out)
+            _flatten(v, f"{prefix}/{i}" if prefix else str(i), out)
     else:
         out[prefix] = np.asarray(tree)
 
@@ -62,9 +64,17 @@ def load_checkpoint(path):
     root = {}
     lists = {}  # path -> (kind, length)
     for key in list(flat):
-        if key.endswith("/__list__") or key.endswith("/__tuple__"):
-            base, tag = key.rsplit("/", 1)
+        if key.endswith("__list__") or key.endswith("__tuple__"):
+            base, _, tag = key.rpartition("/")
             lists[base] = ("list" if tag == "__list__" else "tuple", int(flat.pop(key)))
+
+    # materialize nodes for every sequence path — an empty list/tuple has no
+    # element entries, so it would otherwise never appear in the tree
+    for base in lists:
+        parts = base.split("/") if base else []
+        node = root
+        for p in parts:
+            node = node.setdefault(p, {})
 
     for key, val in flat.items():
         if key.endswith("/__empty_dict__"):
@@ -85,7 +95,8 @@ def load_checkpoint(path):
         if isinstance(node, dict):
             if path in lists:
                 kind, n = lists[path]
-                seq = [fix(node[str(i)], f"{path}/{i}") for i in range(n)]
+                seq = [fix(node[str(i)], f"{path}/{i}" if path else str(i))
+                       for i in range(n)]
                 return seq if kind == "list" else tuple(seq)
             return {k: fix(v, f"{path}/{k}" if path else k) for k, v in node.items()}
         return node
