@@ -48,6 +48,10 @@ class InferenceManager:
                  model_load_folder=None, height=None, width=None,
                  apply_sigmoid=False, batch_size=4):
         if model_load_folder is None:
+            if model_name is None:
+                raise ValueError(
+                    "pass --model <kitti|matterport|handheld> (downloads the "
+                    "pretrained checkpoint) or --model_path <weights dir>")
             download_model_if_doesnt_exist(model_name)
             model_load_folder = os.path.join(MODEL_DIR, model_name)
         self.model_manager = ModelManager(is_inference=True)

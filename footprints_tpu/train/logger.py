@@ -45,6 +45,11 @@ def log(writer, inputs, outputs, losses, lr, step, max_images=4):
                          inputs["visible_ground"][i][None], step)
         writer.add_image(f"target_all_ground/{i}",
                          inputs["all_ground"][i][None], step)
+        if "depth" in inputs:  # target disparity, plasma (reference panel)
+            target_disp = 1.0 / np.maximum(inputs["depth"][i], 1e-3)
+            writer.add_image(f"target_disp/{i}",
+                             np.transpose(_plasma(target_disp), (2, 0, 1)),
+                             step)
         writer.add_image(f"pred_visible_ground/{i}",
                          _sigmoid(outputs[i, ..., 0])[None], step)
         writer.add_image(f"pred_all_ground/{i}",
