@@ -11,8 +11,10 @@ TPU-first differences from the reference loop:
   * checkpoints carry optimizer state AND step counter, so `--load_path`
     resume continues the LR schedule (the reference restarted it).
 
-Cadences match the reference: console log every 100 steps, tensorboard +
-validation every `log_freq` (default 250), checkpoint + LR step per epoch.
+Cadences match the reference bit-for-bit: console log every 100 steps;
+tensorboard + validation at steps divisible by both 100 AND `log_freq`
+(the reference nests the log_freq test inside the %100 branch — see
+`log_cadence`); checkpoint + LR step per epoch.
 """
 
 import os
@@ -32,6 +34,23 @@ from .losses import LossConfig
 from .step import TrainStepConfig, build_eval_step, build_train_step
 
 SEED = 10
+
+
+def log_cadence(step, log_freq):
+    """Return (console, tb_and_val) firing decisions for a train step.
+
+    Bit-identical to the reference control flow (reference
+    training/train.py:161-185): the console log fires every 100 steps, and
+    the tensorboard-log + validation check is NESTED inside that branch, so
+    tb+val fire only at steps divisible by BOTH 100 and log_freq — i.e.
+    every lcm(100, log_freq) steps (500 at the default log_freq=250).  That
+    nesting is the reference's own behavior, preserved deliberately for
+    parity; pinned by tests/test_trainer_cadence.py against a simulation of
+    the reference loop.
+    """
+    console = step % 100 == 0
+    tb_and_val = console and step % log_freq == 0
+    return console, tb_and_val
 
 
 class TrainManager:
@@ -157,7 +176,8 @@ class TrainManager:
             last_batch = batch
             self.timer.add_time("train_network_time", time.time() - before)
 
-            if self.step % 100 == 0:
+            console, tb_and_val = log_cadence(self.step, self.opt.log_freq)
+            if console:
                 losses = self.evaluator.get_averaged_losses("train", reset=False)
                 print(f"Epoch {self.epoch} -- Batch {batch_idx} -- "
                       f"Loss {losses.get('loss', float('nan')):.4f}")
@@ -168,7 +188,7 @@ class TrainManager:
                 print(f"time elapsed/left: {sec_to_hm_str(elapsed)}/"
                       f"{sec_to_hm_str(left)}")
 
-                if self.step % self.opt.log_freq == 0:
+                if tb_and_val:
                     losses = self.evaluator.get_averaged_losses("train", reset=True)
                     with Timer(self.timer, "log_time"):
                         self._log(self.train_writer, batch, losses)
