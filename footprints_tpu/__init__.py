@@ -1,11 +1,13 @@
-"""footprints_tpu — a TPU-native (JAX/XLA/Pallas) framework for footprint &
+"""footprints_tpu — a TPU-native (JAX/XLA) framework for footprint &
 free-space prediction from a single color image.
 
 Re-designed from scratch for TPU with the capabilities of the reference
 implementation "Footprints and Free Space from a Single Color Image"
-(nianticlabs/footprints, CVPR 2020).  The compute path is JAX/XLA with Pallas
-kernels for the fused hot ops; scaling is expressed through `jax.sharding`
-meshes rather than per-device code.
+(nianticlabs/footprints, CVPR 2020).  The compute path is JAX/XLA: the hot
+ops are algebraic reformulations (space-to-depth decoder tail, phase-summed
+upsample convs, one-matmul RANSAC) that XLA fuses onto the MXU — each one
+measured on chip against the naive composition before adoption; scaling is
+expressed through `jax.sharding` meshes rather than per-device code.
 
 Layout:
     core/        pure numeric primitives (depth/disp conversions, resize, color)
@@ -18,7 +20,7 @@ Layout:
     eval/        batch inference + offline metric harness
     preprocessing/  ground-segmentation pipeline + geometric GT generation
     baselines/   classical baselines (visible-ground, convex hull, RANSAC plane)
-    ops/         Pallas TPU kernels for the fused decoder hot path
+    ops/         layout-level TPU fast paths for the decoder (XLA-fused)
 """
 
 __version__ = "0.1.0"

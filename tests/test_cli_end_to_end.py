@@ -11,7 +11,7 @@ from PIL import Image
 
 from footprints_tpu.eval.evaluate_model import evaluate, evaluate_depth, evaluate_mask
 
-TEST_IMG = "/root/reference/test_data/cyclist.jpg"
+TEST_IMG = os.path.join(os.path.dirname(__file__), "..", "test_data", "cyclist.jpg")
 H, W = 64, 96  # small but /32-divisible for speed on the 1-core CI box
 
 

@@ -106,7 +106,7 @@ def test_published_checkpoint_parity(tmp_path, name, h, w):
     sd = load_torch_state_dict(ckpt)
     params, state = footprint_params_from_state_dict(sd)
 
-    img = Image.open("/root/reference/test_data/cyclist.jpg").convert("RGB")
+    img = Image.open(os.path.join(os.path.dirname(__file__), "..", "test_data", "cyclist.jpg")).convert("RGB")
     img = img.resize((w, h), Image.LANCZOS)
     x = (np.asarray(img, np.float32) / 255.0)[None]
 
