@@ -93,5 +93,8 @@ def compute_losses(predictions, targets, config: LossConfig = LossConfig()):
         losses[f"loss/{scale_key}"] = scale_loss
         total = total + scale_loss
 
+    # Reference hardcodes `/= 4` (training/losses.py:87); the model's scale
+    # layout is fixed at 4 ('1/8'..'1/1'), so len(predictions) == 4 on every
+    # real path — pinned by tests/test_losses.py at the 4-scale layout.
     losses["loss"] = total / len(predictions)
     return losses
