@@ -10,7 +10,6 @@ overlapped with the running step) — chips never wait on the host in steady
 state.
 """
 
-import queue
 import threading
 
 import numpy as np
@@ -61,26 +60,37 @@ class DataLoader:
         batch_indices = list(self._epoch_batches())
         if not batch_indices:
             return
-        out_q = queue.Queue(maxsize=self.prefetch_batches)
-        task_q = queue.Queue()
-        for pos, idxs in enumerate(batch_indices):
-            task_q.put((pos, idxs))
-        results = {}
-        lock = threading.Lock()
-        stop = threading.Event()
+        n = len(batch_indices)
+        cond = threading.Condition()
+        results = {}  # pos -> ready batch; bounded by the prefetch window
+        state = {"next_task": 0, "next_pos": 0, "error": None, "stop": False}
 
         def worker():
-            while not stop.is_set():
+            while True:
+                with cond:
+                    # claim the next task, but never run further than
+                    # `prefetch_batches` positions ahead of the consumer
+                    # (bounds memory to window + in-flight batches)
+                    while (not state["stop"] and state["error"] is None
+                           and state["next_task"] < n
+                           and state["next_task"]
+                           >= state["next_pos"] + self.prefetch_batches):
+                        cond.wait()
+                    if state["stop"] or state["error"] or state["next_task"] >= n:
+                        return
+                    pos = state["next_task"]
+                    state["next_task"] += 1
                 try:
-                    pos, idxs = task_q.get_nowait()
-                except queue.Empty:
+                    batch = collate([self.dataset[int(i)] for i in batch_indices[pos]])
+                except Exception as e:  # surface promptly, not at pos's turn
+                    with cond:
+                        if state["error"] is None:
+                            state["error"] = e
+                        cond.notify_all()
                     return
-                try:
-                    batch = collate([self.dataset[int(i)] for i in idxs])
-                except Exception as e:  # surface loader errors to the consumer
-                    batch = e
-                with lock:
+                with cond:
                     results[pos] = batch
+                    cond.notify_all()
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
@@ -88,21 +98,20 @@ class DataLoader:
             t.start()
 
         try:
-            next_pos = 0
-            import time
-
-            while next_pos < len(batch_indices):
-                with lock:
-                    batch = results.pop(next_pos, None)
-                if batch is None:
-                    time.sleep(0.001)
-                    continue
-                if isinstance(batch, Exception):
-                    raise batch
+            for pos in range(n):
+                with cond:
+                    while pos not in results and state["error"] is None:
+                        cond.wait()
+                    if state["error"] is not None:
+                        raise state["error"]
+                    batch = results.pop(pos)
+                    state["next_pos"] = pos + 1
+                    cond.notify_all()  # reopen the prefetch window
                 yield batch
-                next_pos += 1
         finally:
-            stop.set()
+            with cond:
+                state["stop"] = True
+                cond.notify_all()
 
 
 class DevicePrefetcher:

@@ -117,7 +117,15 @@ def decoder_tail(conv_params, conv_state, out_params, x, *, apply_sigmoid,
     entirely in space-to-depth layout (full 128-lane channel widths at half
     spatial resolution; see ops/s2d.py).  Only the final 1-2 channel output
     is unpacked to full resolution.  Numerically identical to the naive
-    composition up to fp order."""
+    composition up to fp order.
+
+    BN is NOT supported here (the reference trains decoders with BN off);
+    guard against silently skipping normalization if a BN-enabled ConvBlock
+    ever reaches this tail."""
+    assert not conv_state, (
+        "decoder_tail does not support BatchNorm ConvBlocks (state must be "
+        "empty); use the naive conv_block composition for use_bn=True"
+    )
     from ..ops.s2d import depth_to_space, s2d_conv3x3_reflect, up_conv_to_s2d
 
     act = elu if use_elu else relu

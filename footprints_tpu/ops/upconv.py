@@ -1,4 +1,11 @@
-"""Fused nearest-upsample + reflect-pad + 3x3 conv (the decoder's hot op).
+"""Fused nearest-upsample + reflect-pad + 3x3 conv — the executable SPEC of
+the phase-kernel identity.
+
+NOT on the model path: the model runs the space-to-depth formulation
+(ops/s2d.py), which embeds these same phase-summed kernels into a single
+conv and stays in s2d layout across the block.  This module is kept as the
+readable derivation of the identity (ops/s2d.py's `_phase_embedded_kernel`
+cites it) and as the golden-tested oracle twin (tests/test_fast_ops.py).
 
 The reference decoder does `conv3x3(reflect_pad(nearest_up_2x(x)))` at every
 up-stage (/root/reference/footprints/network.py:141-158, 60-101).  On TPU the

@@ -184,3 +184,44 @@ def test_label_eight_connectivity():
     mask[1, 1] = 1
     lab = label(mask)
     assert lab.max() == 1
+
+
+class _ListDataset:
+    def __init__(self, items, fail_at=None):
+        self.items = items
+        self.fail_at = fail_at
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        if self.fail_at is not None and i == self.fail_at:
+            raise ValueError(f"boom at {i}")
+        return {"x": np.full((2, 3), self.items[i], np.float32), "idx": i}
+
+
+def test_dataloader_order_and_values():
+    ds = _ListDataset(list(range(20)))
+    loader = DataLoader(ds, batch_size=4, shuffle=False, num_workers=3,
+                        prefetch_batches=2)
+    for _ in range(2):  # re-iterable across epochs
+        batches = list(loader)
+        assert len(batches) == 5
+        got = np.concatenate([b["idx"] for b in batches])
+        np.testing.assert_array_equal(got, np.arange(20))
+
+
+def test_dataloader_worker_exception_surfaces():
+    ds = _ListDataset(list(range(20)), fail_at=13)
+    loader = DataLoader(ds, batch_size=4, shuffle=False, num_workers=2,
+                        prefetch_batches=2)
+    with pytest.raises(ValueError, match="boom at 13"):
+        list(loader)
+
+
+def test_dataloader_early_break_shuts_down():
+    ds = _ListDataset(list(range(40)))
+    loader = DataLoader(ds, batch_size=4, shuffle=False, num_workers=3)
+    it = iter(loader)
+    next(it)
+    it.close()  # generator close must not hang on worker threads
