@@ -122,8 +122,10 @@ def evaluate(pred_folder, datatype, metric, *, gt_dir=None, split_root="splits",
     else:
         raise ValueError(f"unknown datatype {datatype}")
 
+    from tqdm import tqdm
+
     all_scores = []
-    for filename in filenames:
+    for filename in tqdm(filenames, total=len(filenames) if hasattr(filenames, "__len__") else None, disable=not verbose):
         if datatype == "kitti":
             ground_truth, free_space = load_kitti_ground_truth(filename, gt_dir)
             try:

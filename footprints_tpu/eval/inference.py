@@ -77,9 +77,11 @@ class InferenceManager:
     def run(self):
         import jax.numpy as jnp
 
+        from tqdm import tqdm
+
         print("running inference...")
         bs = self.opt.batch_size
-        for inputs in self.loader:
+        for inputs in tqdm(self.loader, total=len(self.loader)):
             images = inputs["image"]
             n = images.shape[0]
             if n < bs:  # pad the tail batch to keep one compiled shape

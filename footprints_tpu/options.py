@@ -27,9 +27,13 @@ class Options:
                        help="validation batches to average over")
         p.add_argument("--batch_size", type=int, default=12)
         p.add_argument("--lr", type=float, default=1e-4)
+        # NOTE: accepted but intentionally unwired, exactly like the
+        # reference (its options.py:66 flag is read by nothing either); the
+        # prior is always applied with weight --footprint_prior.
         p.add_argument("--use_footprint_prior", action="store_true",
                        help="assume only positive hidden-ground labels; add a "
-                            "negative prior on unlabeled pixels")
+                            "negative prior on unlabeled pixels (accepted for "
+                            "CLI parity; unwired in the reference too)")
         p.add_argument("--footprint_prior", type=float, default=0.25,
                        help="weight for negative hidden footprint prior")
         p.add_argument("--no_depth_mask", action="store_true",
