@@ -147,8 +147,12 @@ def init_out_conv_block(key, c_in, c_out):
 
 
 def out_conv_block(params, x, *, scale, apply_sigmoid):
+    from ..ops.wgrad import conv3x3_valid_small_co
+
     conv = params["conv1"]
-    x = conv2d(reflect_pad(x, 1), conv["w"], conv["b"])
+    # custom-wgrad conv: with 1-2 output channels XLA's default weight-grad
+    # lowers to a slow VPU reduction loop (see ops/wgrad.py)
+    x = conv3x3_valid_small_co(reflect_pad(x, 1), conv["w"], conv["b"])
     if apply_sigmoid:
         x = sigmoid(x)
     if scale != 1:

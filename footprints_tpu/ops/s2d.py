@@ -26,6 +26,8 @@ All transforms are numerically identical to the naive full-res ops up to fp
 summation order (tests/test_fast_ops.py).
 """
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -62,24 +64,35 @@ def depth_to_space(x):
     return x.reshape(n, 2 * h, 2 * w, c)
 
 
+# The kernel transforms below are LINEAR in w, so each is one contraction of
+# w with a small constant 0/1 selection tensor.  This matters inside the
+# training step: a concat/scatter formulation re-executes as dozens of tiny
+# serialized device ops per step (measured ~6 ms/step of the r1 train step),
+# while the einsum form is a single fused op forward and one more backward.
+
+def _phase_selector():
+    """Constant T[3,3,2,2,3,3]: T[r,s,a,b,dy,dx] such that the phase-(a,b)
+    embedded kernel is out[r,s,:,(2a+b)co+o] = sum_{dy,dx} T * w[dy,dx,:,o].
+
+    Row/col mixing per axis: phase 0 taps [w0, w1+w2, 0], phase 1 taps
+    [0, w0+w1, w2] (the nearest-up 2x phase identity, ops/upconv.py)."""
+    m = np.zeros((2, 3, 3), np.float32)  # [phase, out_tap, in_tap]
+    m[0, 0, 0] = m[0, 1, 1] = m[0, 1, 2] = 1.0
+    m[1, 1, 0] = m[1, 1, 1] = m[1, 2, 2] = 1.0
+    return np.einsum("ary,bsx->rsabyx", m, m)  # [3,3,2,2,3,3]
+
+
+_PHASE_T = _phase_selector()
+
+
 def _phase_embedded_kernel(w):
     """[3,3,ci,co] -> [3,3,ci,4co]: phase (a,b)'s 2x2 summed kernel embedded
     at kernel offset (a,b).  (See ops/upconv.py for the summing identity.)"""
-    zero_row = jnp.zeros_like(w[0:1])
-    v = {
-        0: jnp.concatenate([w[0:1], w[1:2] + w[2:3], zero_row], axis=0),
-        1: jnp.concatenate([zero_row, w[0:1] + w[1:2], w[2:3]], axis=0),
-    }
-    outs = []
-    for a in range(2):
-        rows = v[a]  # [3,3,ci,co] with one zero row
-        zero_col = jnp.zeros_like(rows[:, 0:1])
-        h0 = jnp.concatenate([rows[:, 0:1], rows[:, 1:2] + rows[:, 2:3],
-                              zero_col], axis=1)
-        h1 = jnp.concatenate([zero_col, rows[:, 0:1] + rows[:, 1:2],
-                              rows[:, 2:3]], axis=1)
-        outs += [h0, h1]
-    return jnp.concatenate(outs, axis=-1)  # [3,3,ci,4co]
+    ci, co = w.shape[2], w.shape[3]
+    t = jnp.asarray(_PHASE_T.reshape(3, 3, 4, 3, 3), w.dtype)
+    k = jnp.einsum("rsgyx,yxio->rsigo", t, w,
+                   precision=jax.lax.Precision.HIGHEST)
+    return k.reshape(3, 3, ci, 4 * co)
 
 
 def up_conv_to_s2d(x, w, b=None, *, precision=None):
@@ -95,27 +108,37 @@ def up_conv_to_s2d(x, w, b=None, *, precision=None):
     return y
 
 
-def _s2d_kernel(w):
-    """[3,3,ci,co] -> [3,3,4ci,4co] s2d conv kernel."""
-    ci, co = w.shape[2], w.shape[3]
-    dtype = w.dtype
-    k = jnp.zeros((3, 3, 4 * ci, 4 * co), dtype)
+def _s2d_selector():
+    """Constant T[3,3,2,2,2,2,3,3]: T[di,dj,alpha,beta,a,b,dy,dx] = 1 where
+    s2d-kernel tap (di,dj), input phase (alpha,beta), output phase (a,b)
+    reads full-res kernel tap (dy,dx).  Each output element has at most one
+    contributing w element (a pure gather), so the contraction is exact in
+    any dtype."""
+    t = np.zeros((3, 3, 2, 2, 2, 2, 3, 3), np.float32)
     for a in range(2):
         for dy in range(3):
             p = a + dy - 1
-            di = (p - (p % 2)) // 2  # floor division toward -inf
-            alpha = p % 2
+            di, alpha = (p - (p % 2)) // 2, p % 2
             for b_ in range(2):
                 for dx in range(3):
                     q = b_ + dx - 1
-                    dj = (q - (q % 2)) // 2
-                    beta = q % 2
-                    out_g = 2 * a + b_
-                    in_g = 2 * alpha + beta
-                    k = k.at[di + 1, dj + 1,
-                             in_g * ci:(in_g + 1) * ci,
-                             out_g * co:(out_g + 1) * co].add(w[dy, dx])
-    return k
+                    dj, beta = (q - (q % 2)) // 2, q % 2
+                    t[di + 1, dj + 1, alpha, beta, a, b_, dy, dx] = 1.0
+    return t
+
+
+_S2D_T = _s2d_selector()
+
+
+def _s2d_kernel(w):
+    """[3,3,ci,co] -> [3,3,4ci,4co] s2d conv kernel: tap (dy,dx) of output
+    phase (a,b) reads input phase ((a+dy-1)%2,(b+dx-1)%2) at s2d offset
+    (floor((a+dy-1)/2), floor((b+dx-1)/2))."""
+    ci, co = w.shape[2], w.shape[3]
+    t = jnp.asarray(_S2D_T.reshape(3, 3, 4, 4, 3, 3), w.dtype)
+    k = jnp.einsum("pqghyx,yxio->pqgiho", t, w,
+                   precision=jax.lax.Precision.HIGHEST)
+    return k.reshape(3, 3, 4 * ci, 4 * co)
 
 
 def _s2d_reflect_pad(x, c):

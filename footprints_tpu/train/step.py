@@ -45,7 +45,10 @@ def make_lr_schedule(config: TrainStepConfig):
 
 
 def make_optimizer(config: TrainStepConfig):
-    return optax.adam(learning_rate=make_lr_schedule(config))
+    # flatten: Adam runs as a few fused ops over one contiguous ~33M-element
+    # vector instead of ~6 tiny ops per param leaf (~1200 serialized device
+    # ops/step measured in the r1 profile — ~8 ms/step on v5e)
+    return optax.flatten(optax.adam(learning_rate=make_lr_schedule(config)))
 
 
 def init_train_state(net, key, config: TrainStepConfig):

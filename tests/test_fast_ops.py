@@ -95,3 +95,28 @@ def test_fast_ops_gradients_match():
     for a, bb in zip(g_ref, g_fast):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_conv3x3_valid_small_co_matches_conv2d_values_and_grads():
+    """ops/wgrad.py custom-VJP conv: values AND all three grads must match
+    the plain conv2d autodiff composition."""
+    from footprints_tpu.ops.wgrad import conv3x3_valid_small_co
+
+    x = jnp.asarray(RNG.randn(2, 10, 14, 16).astype(np.float32))
+    w = jnp.asarray((RNG.randn(3, 3, 16, 2) * 0.1).astype(np.float32))
+    b = jnp.asarray(RNG.randn(2).astype(np.float32))
+
+    def naive(x, w, b):
+        return jnp.sum(jnp.sin(conv2d(reflect_pad(x, 1), w, b,
+                                      precision="highest")))
+
+    def fast(x, w, b):
+        return jnp.sum(jnp.sin(conv3x3_valid_small_co(
+            reflect_pad(x, 1), w, b, "highest")))
+
+    np.testing.assert_allclose(np.asarray(fast(x, w, b)),
+                               np.asarray(naive(x, w, b)), rtol=1e-6)
+    g_ref = jax.grad(naive, argnums=(0, 1, 2))(x, w, b)
+    g_fast = jax.grad(fast, argnums=(0, 1, 2))(x, w, b)
+    for a, r in zip(g_fast, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=2e-5)
