@@ -144,24 +144,35 @@ def _s2d_kernel(w):
 def _s2d_reflect_pad(x, c):
     """Pad an s2d tensor [N,H,W,4C] by one s2d row/col on each side such
     that it corresponds to a 2-pixel reflect pad of the full-res image
-    (of which only the outermost-tapped pixels are ever read)."""
+    (of which only the outermost-tapped pixels are ever read).
+
+    WARNING (r2): the pad rows/cols mix channel GROUPS — group (a,b) of a
+    pad row comes from row 1 for a=0 and row 0 for a=1.  The obvious
+    expression — a lane-dim concat of row slices taken at DIFFERENT row
+    offsets — is miscompiled by the XLA:TPU build behind the axon tunnel
+    (wrong pad rows ON CHIP ONLY; CPU runs of the same jaxpr are correct,
+    so every CPU-mesh golden test passed while serving was wrong at the
+    image borders).  `jnp.where` on a channel-index mask compiles
+    correctly (bisected on-chip; `lax.optimization_barrier` does NOT
+    help).  Do not rewrite this back to concats of channel-group slices —
+    verify any change with `python tools/chip_parity.py --ops`.
+    """
     # channel groups: g0=(0,0), g1=(0,1), g2=(1,0), g3=(1,1)
-    a0 = x[..., : 2 * c]      # phase rows a=0 (groups g0,g1)
-    a1 = x[..., 2 * c:]       # phase rows a=1 (groups g2,g3)
+    ch = jnp.arange(x.shape[-1])
+    # phase rows: a=0 -> groups g0,g1 (ch < 2c), a=1 -> groups g2,g3
+    row_a0 = (ch < 2 * c)[None, None, None, :]
     # top s2d pad row: full rows (-2,-1) = reflect -> (2,1)
-    top = jnp.concatenate([a0[:, 1:2], a1[:, 0:1]], axis=-1)
+    top = jnp.where(row_a0, x[:, 1:2], x[:, 0:1])
     # bottom s2d pad row: full rows (2H, 2H+1) -> reflect (2H-2, 2H-3)
-    bottom = jnp.concatenate([a0[:, -1:], a1[:, -2:-1]], axis=-1)
+    bottom = jnp.where(row_a0, x[:, -1:], x[:, -2:-1])
     x = jnp.concatenate([top, x, bottom], axis=1)
 
-    # columns: groups by b: b0 = (g0, g2), b1 = (g1, g3)
-    g0, g1, g2, g3 = (x[..., i * c:(i + 1) * c] for i in range(4))
+    # columns: groups by b: b0 = (g0, g2) even groups, b1 = (g1, g3) odd
+    col_b0 = ((ch // c) % 2 == 0)[None, None, None, :]
     # left s2d pad col: full cols (-2,-1) -> (2,1): b0 parts from col 1,
     # b1 parts from col 0
-    left = jnp.concatenate([g0[:, :, 1:2], g1[:, :, 0:1],
-                            g2[:, :, 1:2], g3[:, :, 0:1]], axis=-1)
-    right = jnp.concatenate([g0[:, :, -1:], g1[:, :, -2:-1],
-                             g2[:, :, -1:], g3[:, :, -2:-1]], axis=-1)
+    left = jnp.where(col_b0, x[:, :, 1:2], x[:, :, 0:1])
+    right = jnp.where(col_b0, x[:, :, -1:], x[:, :, -2:-1])
     return jnp.concatenate([left, x, right], axis=2)
 
 
