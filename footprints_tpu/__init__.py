@@ -5,9 +5,11 @@ Re-designed from scratch for TPU with the capabilities of the reference
 implementation "Footprints and Free Space from a Single Color Image"
 (nianticlabs/footprints, CVPR 2020).  The compute path is JAX/XLA: the hot
 ops are algebraic reformulations (space-to-depth decoder tail, phase-summed
-upsample convs, one-matmul RANSAC) that XLA fuses onto the MXU — each one
-measured on chip against the naive composition before adoption; scaling is
-expressed through `jax.sharding` meshes rather than per-device code.
+upsample convs, one-matmul RANSAC) that XLA fuses onto the MXU, plus a
+Pallas fused pad+conv+bias+ELU kernel for the decoder's serving path
+(ops/pallas_conv.py) — each one measured on chip against the naive
+composition before adoption; scaling is expressed through `jax.sharding`
+meshes rather than per-device code.
 
 Layout:
     core/        pure numeric primitives (depth/disp conversions, resize, color)
@@ -20,7 +22,8 @@ Layout:
     eval/        batch inference + offline metric harness
     preprocessing/  ground-segmentation pipeline + geometric GT generation
     baselines/   classical baselines (visible-ground, convex hull, RANSAC plane)
-    ops/         layout-level TPU fast paths for the decoder (XLA-fused)
+    ops/         layout-level TPU fast paths for the decoder (XLA-fused
+                 compositions + the Pallas fused conv kernel)
 """
 
 __version__ = "0.1.0"

@@ -72,6 +72,17 @@ def init_up_concat_block_asym(key, c_in, c_out, skip_ch, *, use_bn=False):
 _S2D_MIN_PIXELS = 96 * 320
 
 
+def _pallas_ok(x, x_s2d_next, conv1, conv2):
+    """Gate for the fused Pallas serving path: TPU backend and shapes the
+    kernel tiles cleanly (measured 1.5-3.2x vs the XLA composition)."""
+    from ..ops.pallas_conv import pallas_supported
+    co4 = 4 * conv1["w"].shape[-1]
+    co4_2 = 4 * conv2["w"].shape[-1]
+    return (pallas_supported(x, co4)
+            and (x_s2d_next is None or pallas_supported(x_s2d_next, co4))
+            and co4_2 % 128 == 0 and co4 * co4_2 <= 512 * 512)
+
+
 def up_concat_block(params, state, x, skip, *, use_bn=False, use_elu=True,
                     train=False, fast=None):
     """pre-conv -> nearest x2 upsample -> channel-concat skip -> post-conv.
@@ -96,12 +107,23 @@ def up_concat_block(params, state, x, skip, *, use_bn=False, use_elu=True,
     if fast and not use_bn:
         c_up = x.shape[-1]
         conv1 = params["post"]["conv1"]
-        y = up_conv_to_s2d(x, conv1["w"][:, :, :c_up, :]) \
-            + s2d_conv3x3_reflect(space_to_depth(skip),
-                                  conv1["w"][:, :, c_up:, :])
-        y = act(y + jnp.tile(conv1["b"], 4))
         conv2 = params["post"]["conv2"]
-        y = act(s2d_conv3x3_reflect(y, conv2["w"], conv2["b"]))
+        skip_s2d = space_to_depth(skip)
+        if use_elu and not train and _pallas_ok(x, skip_s2d, conv1, conv2):
+            # fused Pallas path (serving): pad+conv+bias+ELU in one kernel
+            # per conv, no HBM pad materialization (ops/pallas_conv.py)
+            from ..ops.pallas_conv import (s2d_conv_fused, s2d_conv_res_fused,
+                                           up_conv_s2d_fused)
+            r = up_conv_s2d_fused(x, conv1["w"][:, :, :c_up, :],
+                                  jnp.zeros_like(conv1["b"]), "none")
+            y = s2d_conv_res_fused(skip_s2d, conv1["w"][:, :, c_up:, :],
+                                   conv1["b"], r, "elu")
+            y = s2d_conv_fused(y, conv2["w"], conv2["b"], "elu")
+        else:
+            y = up_conv_to_s2d(x, conv1["w"][:, :, :c_up, :]) \
+                + s2d_conv3x3_reflect(skip_s2d, conv1["w"][:, :, c_up:, :])
+            y = act(y + jnp.tile(conv1["b"], 4))
+            y = act(s2d_conv3x3_reflect(y, conv2["w"], conv2["b"]))
         x = depth_to_space(y)
     else:
         x = upsample_nearest(x, 2)
@@ -130,8 +152,13 @@ def decoder_tail(conv_params, conv_state, out_params, x, *, apply_sigmoid,
 
     act = elu if use_elu else relu
     c1, c2 = conv_params["conv1"], conv_params["conv2"]
-    y = act(up_conv_to_s2d(x, c1["w"], c1["b"]))
-    y = act(s2d_conv3x3_reflect(y, c2["w"], c2["b"]))
+    if use_elu and not train and _pallas_ok(x, None, c1, c2):
+        from ..ops.pallas_conv import s2d_conv_fused, up_conv_s2d_fused
+        y = up_conv_s2d_fused(x, c1["w"], c1["b"], "elu")
+        y = s2d_conv_fused(y, c2["w"], c2["b"], "elu")
+    else:
+        y = act(up_conv_to_s2d(x, c1["w"], c1["b"]))
+        y = act(s2d_conv3x3_reflect(y, c2["w"], c2["b"]))
     oc = out_params["conv1"]
     y = s2d_conv3x3_reflect(y, oc["w"], oc["b"])
     if apply_sigmoid:
