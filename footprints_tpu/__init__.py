@@ -6,10 +6,12 @@ implementation "Footprints and Free Space from a Single Color Image"
 (nianticlabs/footprints, CVPR 2020).  The compute path is JAX/XLA: the hot
 ops are algebraic reformulations (space-to-depth decoder tail, phase-summed
 upsample convs, one-matmul RANSAC) that XLA fuses onto the MXU, plus a
-Pallas fused pad+conv+bias+ELU kernel for the decoder's serving path
-(ops/pallas_conv.py) — each one measured on chip against the naive
-composition before adoption; scaling is expressed through `jax.sharding`
-meshes rather than per-device code.
+Pallas fused pad+conv+bias+ELU kernel (ops/pallas_conv.py) kept as an
+independent on-chip cross-check of the XLA path (it exposed a real XLA:TPU
+border miscompile in r2; opt-in for the model via FOOTPRINTS_PALLAS_CONV=1)
+— each op measured on chip against the naive composition before adoption;
+scaling is expressed through `jax.sharding` meshes rather than per-device
+code.
 
 Layout:
     core/        pure numeric primitives (depth/disp conversions, resize, color)

@@ -73,8 +73,10 @@ _S2D_MIN_PIXELS = 96 * 320
 
 
 def _pallas_ok(x, x_s2d_next, conv1, conv2):
-    """Gate for the fused Pallas serving path: TPU backend and shapes the
-    kernel tiles cleanly (measured 1.5-3.2x vs the XLA composition)."""
+    """Gate for the fused Pallas serving path (opt-in via
+    FOOTPRINTS_PALLAS_CONV=1): TPU backend and shapes the kernel tiles
+    cleanly.  Default off — the XLA composition with the fixed reflect pad
+    measures faster at every model shape (ops/pallas_conv.py header)."""
     from ..ops.pallas_conv import pallas_supported
     co4 = 4 * conv1["w"].shape[-1]
     co4_2 = 4 * conv2["w"].shape[-1]

@@ -1,10 +1,7 @@
 """Pallas TPU kernel: fused pad -> 3x3 conv -> bias -> activation in s2d layout.
 
 The decoder tail runs its 3x3 convs in space-to-depth layout (ops/s2d.py).
-The XLA lowering of that path materializes the padded input in HBM (a
-~1.2 ms concat fusion per conv at [12,96,320,128] — 5x off the copy
-roofline, measured in the r2 train-step profile) and runs bias+ELU as a
-separate bandwidth-bound pass.  This kernel fuses the whole chain:
+This kernel fuses the whole pad+conv+bias+act chain in VMEM:
 
   * the 1-ring halo (s2d-reflect or edge padding) is assembled in a VMEM
     scratch — the padded tensor never exists in HBM;
@@ -20,13 +17,17 @@ golden-tested in tests/test_pallas_conv.py).  The s2d reflect rule mixes
 channel GROUPS, which Mosaic cannot express as lane-dim concats — it is
 implemented as full-lane selects against constant channel masks instead.
 
-Besides speed, on the axon TPU backend this kernel side-steps a real
-XLA:TPU miscompile: the lane-concat-of-row-slices form of the s2d reflect
+History (r2): this kernel's independent implementation EXPOSED a real
+XLA:TPU miscompile — the lane-concat-of-row-slices form of the s2d reflect
 pad produced wrong border rows ON CHIP (see ops/s2d.py:_s2d_reflect_pad's
-warning; bisected r2).  The kernel matched the pure-numpy reference while
-the XLA composition did not — verify with `python tools/chip_parity.py`.
+warning).  The kernel matched the pure-numpy reference while the XLA
+composition did not.  Against the *fixed* where-select composition the
+kernel is slower at every model shape (see ENABLE_MODEL_PATH below), so
+the model path is opt-in; the kernel remains golden-tested and cross-
+checked on chip every `python tools/chip_parity.py` run as an independent
+second opinion on the XLA path.
 
-Used by the decoder tail/up-concat fast paths (nn/blocks.py) behind a
+Wired into the decoder tail/up-concat fast paths (nn/blocks.py) behind a
 custom_vjp whose backward falls back to the XLA composition.
 """
 
@@ -163,6 +164,19 @@ INTERPRET = False
 # for TPU), and available for A/B perf comparisons.
 DISABLE = False
 
+# Model-path opt-in (FOOTPRINTS_PALLAS_CONV=1).  Default OFF: against the
+# FIXED where-select reflect pad (ops/s2d.py), the XLA composition is
+# faster at every model shape (per-op slope A/B, r2: tail 1.11 vs 1.47 ms,
+# up 1.17 vs 1.47, blk1 0.74 vs 0.86 at 192x640 b16; same ordering at
+# 512x640).  The kernel's earlier 2.5x "win" was measured against the
+# MISCOMPILED concat-pad composition.  The kernel stays: it is the
+# independent implementation that exposed that miscompile, it is golden-
+# tested in interpret mode, and tools/chip_parity.py cross-checks it on
+# the chip every run — a second opinion the XLA path can be diffed against.
+import os as _os
+
+ENABLE_MODEL_PATH = _os.environ.get("FOOTPRINTS_PALLAS_CONV") == "1"
+
 
 def _apply_act(y, act):
     return jax.nn.elu(y) if act == "elu" else y
@@ -266,7 +280,7 @@ def pallas_supported(x, co4: int) -> bool:
     Called at trace time with concrete shapes; the CPU test mesh and the
     FOOTPRINTS_PLATFORM=cpu knob both fall back to the XLA composition.
     """
-    if DISABLE:
+    if DISABLE or not ENABLE_MODEL_PATH:
         return False
     try:
         backend = jax.default_backend()

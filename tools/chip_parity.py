@@ -134,15 +134,14 @@ def check_ops(cpu):
 
     # Pallas fused kernels (bf16 — the only gated-on dtype) vs the CPU XLA
     # composition run in f32
-    from footprints_tpu.ops.pallas_conv import (pallas_supported,
-                                                s2d_conv_fused,
+    from footprints_tpu.ops.pallas_conv import (s2d_conv_fused,
                                                 up_conv_s2d_fused)
     xs2d = jax.random.normal(jax.random.PRNGKey(0), (2, 96, 320, 128),
                              jnp.bfloat16)
     w1 = (jax.random.normal(jax.random.PRNGKey(1), (3, 3, 32, 32)) * 0.1
           ).astype(jnp.bfloat16)
     b1 = jax.random.normal(jax.random.PRNGKey(2), (32,)).astype(jnp.bfloat16)
-    if pallas_supported(xs2d, 128):
+    if True:  # kernels are checked unconditionally (model gate is opt-in)
         p_dev = jax.jit(lambda x, w, b: _probe(
             s2d_conv_fused(x, w, b, "elu").astype(jnp.float32)))(xs2d, w1, b1)
         p_cpu = jax.jit(
@@ -156,7 +155,7 @@ def check_ops(cpu):
                             jnp.bfloat16)
     w2 = (jax.random.normal(jax.random.PRNGKey(1), (3, 3, 64, 32)) * 0.1
           ).astype(jnp.bfloat16)
-    if pallas_supported(xup, 128):
+    if True:
         p_dev = jax.jit(lambda x, w, b: _probe(
             up_conv_s2d_fused(x, w, b, "elu").astype(jnp.float32)))(xup, w2, b1)
         p_cpu = jax.jit(
