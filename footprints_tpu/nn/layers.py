@@ -83,8 +83,38 @@ def batch_norm(x, params, state, *, train, momentum=0.1, eps=1e-5):
     return y.astype(x.dtype), new_state
 
 
+@jax.custom_vjp
+def _reflect_pad1(x):
+    return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+
+
+def _reflect_pad1_fwd(x):
+    return _reflect_pad1(x), None
+
+
+def _reflect_pad1_bwd(_, g):
+    """Transpose of 1-px reflect pad: fold border cotangents onto the rows
+    and columns they reflected from.
+
+    XLA's autodiff of the concat-based pad materializes a full-tensor
+    slice+add pass PER PAD SIDE (~3.8 ms/step across the decoder in the r2
+    train profile); this hand VJP is one interior slice plus four
+    single-row/col updates and four corner taps (~0.2 ms/step)."""
+    gi = g[:, 1:-1, 1:-1]
+    gi = gi.at[:, 1].add(g[:, 0, 1:-1]).at[:, -2].add(g[:, -1, 1:-1])
+    gi = gi.at[:, :, 1].add(g[:, 1:-1, 0]).at[:, :, -2].add(g[:, 1:-1, -1])
+    gi = (gi.at[:, 1, 1].add(g[:, 0, 0]).at[:, 1, -2].add(g[:, 0, -1])
+            .at[:, -2, 1].add(g[:, -1, 0]).at[:, -2, -2].add(g[:, -1, -1]))
+    return (gi,)
+
+
+_reflect_pad1.defvjp(_reflect_pad1_fwd, _reflect_pad1_bwd)
+
+
 def reflect_pad(x, pad=1):
     """Reflection padding on the spatial dims of an NHWC tensor."""
+    if pad == 1:
+        return _reflect_pad1(x)
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
 
 
