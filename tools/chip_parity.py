@@ -78,7 +78,12 @@ def check_model(height, width, dtype, cpu):
             params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
             x = x.astype(jnp.bfloat16)
         out, _ = net.apply(params, state, x, train=False)
-        return _probe(out["1/1"].astype(jnp.float32))
+        # probe ALL scales: the '1/2'..'1/8' heads run different pad/conv
+        # code paths than '1/1' and are equally exposed to backend
+        # miscompiles (the r2 reflect-pad bug corrupted borders only)
+        return {f"{k.replace('/', '_')}.{pk}": pv
+                for k, o in out.items()
+                for pk, pv in _probe(o.astype(jnp.float32)).items()}
 
     from footprints_tpu.ops import pallas_conv
 
