@@ -27,7 +27,8 @@ CHECKPOINT_NAME = "checkpoint.npz"
 
 class ModelManager:
     def __init__(self, save_folder=None, is_inference=False, learning_rate=1e-4,
-                 lr_step_size=10, steps_per_epoch=1, depth=34, seed=10):
+                 lr_step_size=10, steps_per_epoch=1, depth=34, seed=10,
+                 pretrained_encoder=None):
         self.save_folder = save_folder
         self.is_inference = is_inference
         self.net = FootprintNetwork(depth=depth)
@@ -38,6 +39,26 @@ class ModelManager:
         cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
             self.params, self.state = self.net.init(jax.random.PRNGKey(seed))
+        if pretrained_encoder is not None:
+            # the reference trains from an ImageNet-pretrained encoder
+            # (reference network.py:38); decoders stay randomly initialized
+            from .convert import resolve_pretrained_encoder
+
+            print(f"initializing encoder from {pretrained_encoder}...")
+            enc_p, enc_s = resolve_pretrained_encoder(pretrained_encoder,
+                                                      depth=depth)
+            for got, want in ((enc_p, self.params["encoder"]),
+                              (enc_s, self.state["encoder"])):
+                gs = [(jax.tree_util.keystr(p), v.shape) for p, v in
+                      jax.tree_util.tree_flatten_with_path(got)[0]]
+                ws = [(jax.tree_util.keystr(p), v.shape) for p, v in
+                      jax.tree_util.tree_flatten_with_path(want)[0]]
+                if gs != ws:
+                    raise ValueError(
+                        f"pretrained encoder layout mismatch (is it a "
+                        f"resnet{depth}?): {set(ws) ^ set(gs)}")
+            self.params["encoder"] = enc_p
+            self.state["encoder"] = enc_s
         self.step = np.zeros((), np.int32)
 
         self.config = TrainStepConfig(

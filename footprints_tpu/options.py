@@ -52,6 +52,12 @@ class Options:
         p.add_argument("--encoder_depth", type=int, choices=[18, 34, 50],
                        default=34, help="ResNet encoder depth (checkpoint "
                                         "contract: 34)")
+        p.add_argument("--pretrained_encoder", type=str, default=None,
+                       help="initialize the encoder from ImageNet weights: a "
+                            "local torchvision resnet .pth path, or "
+                            "'download' to fetch torchvision's published "
+                            "weights (the reference trains from these — "
+                            "network.py:38)")
         p.add_argument("--split_root", type=str, default="splits",
                        help="root directory of split txt files")
         p.add_argument("--compute_dtype", type=str, default="float32",

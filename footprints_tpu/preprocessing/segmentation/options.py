@@ -32,6 +32,10 @@ class Options:
         p.add_argument("--split_root", type=str, default="splits")
         p.add_argument("--encoder_depth", type=int, choices=[18, 34, 50],
                        default=34)
+        p.add_argument("--pretrained_encoder", type=str, default=None,
+                       help="ImageNet encoder init: local torchvision resnet "
+                            ".pth path or 'download' (reference seg "
+                            "network.py:32 uses pretrained weights)")
         p.add_argument("--log_images", action="store_true",
                        help="log [image | gt | prediction] panels to "
                             "tensorboard at log cadence")

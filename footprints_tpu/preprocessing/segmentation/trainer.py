@@ -56,6 +56,15 @@ class Trainer:
         cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
             self.params, self.state = self.net.init(jax.random.PRNGKey(SEED))
+        pretrained = getattr(self.opt, "pretrained_encoder", None)
+        if pretrained is not None:
+            # reference seg network also starts from ImageNet weights
+            # (reference preprocessing/segmentation/network.py:32)
+            from ...convert import resolve_pretrained_encoder
+
+            print(f"initializing encoder from {pretrained}...")
+            self.params["encoder"], self.state["encoder"] = (
+                resolve_pretrained_encoder(pretrained, depth=self.net.depth))
         if self.opt.load_path is not None:
             self.params, self.state = _load_segmentor_weights(
                 self.net, self.opt.load_path)

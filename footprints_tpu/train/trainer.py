@@ -73,6 +73,7 @@ class TrainManager:
             steps_per_epoch=steps_per_epoch,
             depth=getattr(self.opt, "encoder_depth", 34),
             seed=SEED,
+            pretrained_encoder=getattr(self.opt, "pretrained_encoder", None),
         )
         if self.opt.load_path is not None:
             self.model_manager.load_model(weights_path=self.opt.load_path,
@@ -117,6 +118,11 @@ class TrainManager:
         self.step = int(np.asarray(self.model_manager.step))
         self.num_total_steps = steps_per_epoch * self.opt.epochs
         self.val_iter = iter(self.val_loader)
+        # jit once: constructing jax.jit(lambda ...) inside _log would
+        # retrace+recompile the full forward on every image-log event
+        net = self.model_manager.net
+        self._log_forward = jax.jit(
+            lambda p, s, x: net.apply(p, s, x, train=False)[0])
         print("training setup complete!\n---------------")
 
     # ------------------------------------------------------------------
@@ -228,10 +234,9 @@ class TrainManager:
             return
         inputs = outputs = None
         if getattr(self.opt, "log_images", False) and batch is not None:
-            net = self.model_manager.net
-            out, _ = jax.jit(
-                lambda p, s, x: net.apply(p, s, x, train=False)
-            )(self.train_state["params"], self.train_state["state"], batch["image"])
+            out = self._log_forward(
+                self.train_state["params"], self.train_state["state"],
+                batch["image"])
             outputs = np.asarray(out["1/1"][:4])
             inputs = {k: np.asarray(v[:4]) for k, v in batch.items()}
         log(writer, inputs, outputs, losses, float(np.asarray(self.lr)), self.step)
