@@ -33,6 +33,10 @@ def _shift_hue(image: Image.Image, hue_factor: float) -> Image.Image:
     """Shift hue by hue_factor (fraction of the full hue circle)."""
     if image.mode != "RGB":
         return image
+    if int(hue_factor * 255) == 0:
+        # skip the lossy RGB->HSV->RGB round-trip when the quantized shift
+        # is a no-op (also makes zero-jitter an exact identity)
+        return image
     hsv = np.array(image.convert("HSV"), dtype=np.uint8)
     shift = np.uint8(int(hue_factor * 255)) if hue_factor >= 0 else np.uint8(256 + int(hue_factor * 255))
     hsv[..., 0] = (hsv[..., 0].astype(np.int16) + np.int16(shift)) % 256

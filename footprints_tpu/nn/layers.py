@@ -83,6 +83,10 @@ def batch_norm(x, params, state, *, train, momentum=0.1, eps=1e-5):
     return y.astype(x.dtype), new_state
 
 
+# NOTE: custom_vjp supports reverse-mode AD only — jax.jvp/jacfwd/hessian
+# through any decoder conv (and through ops/s2d.py's pads) raises.  The
+# training stack is reverse-mode-only by design; if forward-mode is ever
+# needed, re-express these as jax.custom_gradient or gate on a flag.
 @jax.custom_vjp
 def _reflect_pad1(x):
     return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")

@@ -171,8 +171,9 @@ DISABLE = False
 # 512x640).  The kernel's earlier 2.5x "win" was measured against the
 # MISCOMPILED concat-pad composition.  The kernel stays: it is the
 # independent implementation that exposed that miscompile, it is golden-
-# tested in interpret mode, and tools/chip_parity.py cross-checks it on
-# the chip every run — a second opinion the XLA path can be diffed against.
+# tested in interpret mode, and `tools/chip_parity.py --ops` cross-checks it
+# on the chip (the default model-level run only exercises Pallas when
+# FOOTPRINTS_PALLAS_CONV=1) — a second opinion to diff the XLA path against.
 import os as _os
 
 ENABLE_MODEL_PATH = _os.environ.get("FOOTPRINTS_PALLAS_CONV") == "1"

@@ -10,6 +10,13 @@ step counter is part of the state, so resume continues the schedule exactly.
 Pytree <-> flat mapping: keys are '/'-joined paths; list indices are encoded
 as plain path segments.  ``None`` leaves (e.g. bias-free convs) are recorded
 with a sentinel so the tree structure round-trips exactly.
+
+Format history: the optimizer state's pytree layout follows the live
+optimizer definition — when train/step.py wrapped Adam in ``optax.flatten``
+(r2, perf), the saved opt_state layout changed with it.  Checkpoints written
+before that carry per-leaf Adam state and can resume weights+step but not
+the optimizer moments; ``restore_into`` raises a clear KeyError rather than
+silently mixing layouts.  Params/state/step keys are stable across versions.
 """
 
 import os
