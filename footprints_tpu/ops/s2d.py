@@ -27,6 +27,7 @@ summation order (tests/test_fast_ops.py).
 """
 
 import functools
+import os
 
 import numpy as np
 
@@ -34,6 +35,11 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.layers import get_default_precision
+
+# Gate for the hand-written fused conv backward (see _dxp_presliced).
+# Read at TRACE time — set the env var before building a train step, and
+# use distinct function objects when re-jitting after flipping it.
+FUSED_DGRAD = os.environ.get("FOOTPRINTS_FUSED_DGRAD", "1") == "1"
 
 
 def _conv(x, w, b=None, *, precision=None):
@@ -127,9 +133,11 @@ def up_conv_to_s2d(x, w, b=None, *, precision=None):
 
     x [N,H,W,C], w [3,3,C,Co] -> [N,H,W,4Co].
     """
-    kernel = _phase_embedded_kernel(w)
-    xp = _edge_pad1(x)
-    y = _conv(xp, kernel, precision=precision)
+    if FUSED_DGRAD:
+        y = _edge_conv_phase(x, w, precision)
+    else:
+        y = _conv(_edge_pad1(x), _phase_embedded_kernel(w),
+                  precision=precision)
     if b is not None:
         y = y + jnp.tile(b, 4)
     return y
@@ -255,15 +263,106 @@ def _s2d_reflect_pad_bwd(c, _, g):
 _s2d_reflect_pad.defvjp(_s2d_reflect_pad_fwd, _s2d_reflect_pad_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fused backward (r3): XLA's autodiff of conv(pad(x)) lowers the input
+# gradient to a conv-transpose over padded-cotangent shapes ([12,98,322,C],
+# [12,50,162,C]) that the TPU backend schedules at 34-105 TF/s (r2 train
+# profile).  The hand VJP below re-expresses d(xp) as ONE clean VALID conv
+# producing the interior [N,H,W,Ci] (cotangent padded by 1, not 2) plus four
+# single-row/col strip convs for the halo, reassembled with plain spatial
+# concats (NOT channel-group concats — see the _s2d_reflect_pad warning),
+# then folds through the same tested pad transposes.  dW routes through
+# jax.vjp of the conv w.r.t. w only (XLA's native wgrad, fine at these
+# channel counts).  Golden-tested values+grads in tests/test_fast_ops.py /
+# test_pad_vjps.py; on-chip guard: tools/chip_parity.py --grads.
+# ---------------------------------------------------------------------------
+
+def _dxp_presliced(cot, kernel, precision):
+    """d(xp) of y = conv_VALID(xp, kernel): full-correlation of the
+    cotangent with the flipped kernel, built from pre-sliced pieces.
+
+    cot [N,H,W,Co], kernel [3,3,Ci,Co] -> dxp [N,H+2,W+2,Ci].
+    """
+    wt = jnp.flip(kernel, axis=(0, 1)).swapaxes(2, 3)  # [3,3,Co,Ci]
+    # interior rows/cols: dxp[1:H+1, 1:W+1]
+    cot_p1 = jnp.pad(cot, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    main = _conv(cot_p1, wt, precision=precision)  # [N,H,W,Ci]
+    # top/bottom rows of dxp (r=0 / r=H+1): only the outermost kernel tap
+    # reaches past the cotangent, so each is a 1x3 conv over one cot row,
+    # cols padded by 2 to cover the dxp corners
+    row_pad = ((0, 0), (0, 0), (2, 2), (0, 0))
+    top = _conv(jnp.pad(cot[:, :1], row_pad), wt[2:3], precision=precision)
+    bottom = _conv(jnp.pad(cot[:, -1:], row_pad), wt[0:1], precision=precision)
+    # left/right interior cols of dxp (c=0 / c=W+1, rows 1..H): 3x1 convs
+    col_pad = ((0, 0), (1, 1), (0, 0), (0, 0))
+    left = _conv(jnp.pad(cot[:, :, :1], col_pad), wt[:, 2:3],
+                 precision=precision)
+    right = _conv(jnp.pad(cot[:, :, -1:], col_pad), wt[:, 0:1],
+                  precision=precision)
+    mid = jnp.concatenate([left, main, right], axis=2)  # [N,H,W+2,Ci]
+    return jnp.concatenate([top, mid, bottom], axis=1)  # [N,H+2,W+2,Ci]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _s2d_reflect_conv(x, w, c, precision):
+    return _conv(_s2d_reflect_pad(x, c), _s2d_kernel(w), precision=precision)
+
+
+def _s2d_reflect_conv_fwd(x, w, c, precision):
+    return _s2d_reflect_conv(x, w, c, precision), (x, w)
+
+
+def _s2d_reflect_conv_bwd(c, precision, res, cot):
+    x, w = res
+    kernel = _s2d_kernel(w)
+    dxp = _dxp_presliced(cot, kernel, precision)
+    (dx,) = _s2d_reflect_pad_bwd(c, None, dxp)
+    # dW: XLA's native wgrad w.r.t. w only (selector transpose included via
+    # autodiff of the linear _s2d_kernel embedding)
+    _, vjp_w = jax.vjp(
+        lambda w: _conv(_s2d_reflect_pad(x, c), _s2d_kernel(w),
+                        precision=precision), w)
+    (dw,) = vjp_w(cot)
+    return dx, dw
+
+
+_s2d_reflect_conv.defvjp(_s2d_reflect_conv_fwd, _s2d_reflect_conv_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _edge_conv_phase(x, w, precision):
+    return _conv(_edge_pad1(x), _phase_embedded_kernel(w), precision=precision)
+
+
+def _edge_conv_phase_fwd(x, w, precision):
+    return _edge_conv_phase(x, w, precision), (x, w)
+
+
+def _edge_conv_phase_bwd(precision, res, cot):
+    x, w = res
+    kernel = _phase_embedded_kernel(w)
+    dxp = _dxp_presliced(cot, kernel, precision)
+    (dx,) = _edge_pad1_bwd(None, dxp)
+    _, vjp_w = jax.vjp(
+        lambda w: _conv(_edge_pad1(x), _phase_embedded_kernel(w),
+                        precision=precision), w)
+    (dw,) = vjp_w(cot)
+    return dx, dw
+
+
+_edge_conv_phase.defvjp(_edge_conv_phase_fwd, _edge_conv_phase_bwd)
+
+
 def s2d_conv3x3_reflect(x, w, b=None, *, precision=None):
     """Full-res conv3x3(reflect_pad(X)) computed in s2d layout.
 
     x [N,H,W,4C] (s2d of [N,2H,2W,C]), w [3,3,C,Co] -> [N,H,W,4Co].
     """
-    c = w.shape[2]
-    kernel = _s2d_kernel(w)
-    xp = _s2d_reflect_pad(x, c)
-    y = _conv(xp, kernel, precision=precision)
+    if FUSED_DGRAD:
+        y = _s2d_reflect_conv(x, w, w.shape[2], precision)
+    else:
+        y = _conv(_s2d_reflect_pad(x, w.shape[2]), _s2d_kernel(w),
+                  precision=precision)
     if b is not None:
         y = y + jnp.tile(b, 4)
     return y

@@ -172,12 +172,184 @@ def check_ops(cpu):
     return ok
 
 
+def check_grads(cpu, height=192, width=640, compute_dtype=None,
+                precision=None):
+    """Backward-pass parity: jax.grad of the real training loss on chip vs
+    the CPU backend.
+
+    The r2 miscompile class (border-only, chip-only, fusion-dependent) is
+    exactly what the hand-written pad VJPs would produce if the backend
+    mishandles their border-sized ``.at[].add`` scatter patterns
+    (ops/s2d.py:_s2d_reflect_pad_bwd, nn/layers.py:_reflect_pad1_bwd) — and
+    the train-step backward graph is otherwise unguarded by any on-chip
+    check.  Probes: border rows of d(loss)/d(image) (where a pad-transpose
+    bug lands), mean/max of EVERY d(loss)/d(param) leaf, and a global grad
+    L2 — all reduced on the executing device.
+
+    Precision note: the primary config is bf16 + precision "default" — the
+    graph the real mixed-precision train step compiles (bench.py/step.py).
+    f32 + "highest" dgrads are pathologically slow for the tunnel backend
+    to compile (~100 s for ONE conv dgrad at the tail shape, measured —
+    the full model never finished); keep f32 probes at small resolutions.
+
+    Tolerance calibration (measured 2026-08-17, diag_dxrows.py):
+      * dp (param grads — the ONLY thing training consumes): chip-vs-CPU
+        matches to <3e-4 in f32/highest; gate strictly.
+      * dx (image grad — probe-only, never used): its elements are ~4e-5
+        sums of ~1e-3 cancelling terms, so reordering noise alone measures
+        ~1e-6 absolute == ~2e-2 relative at the (10x smaller) border rows,
+        IDENTICAL across all four {fused dgrad, raw pads} formulations —
+        i.e. depth-of-graph rounding, not a miscompile (the r2 class is
+        O(1) wrong).  In bf16 the whole dx differs ~0.5 between backends.
+        Gate dx at 0.1 relative-to-global-max in f32 (catches O(1) border
+        corruption), and skip dx entirely in bf16.
+      * dp per-leaf stats in bf16: the worst leaves are bias grads of the
+        sigmoid-head convs (outconv*_out.conv1.b, block*.post.conv2.b) —
+        near-cancelling sums of ~2.5e5 bf16 cotangents whose rounding
+        points differ between backend fusion schedules.  Measured
+        divergence at 192x640: up to 0.13 relative-to-global-max (0.16-1.3
+        relative to the tiny leaf itself), while the SAME graph with f32
+        storage ("default" precision, 192x640) passes every dp stat at
+        0.05 — so this is precision noise, not a backend bug.  Gate bf16
+        per-leaf stats at 0.25 rel-to-global (2x margin over measured
+        noise; an r2-class O(1) corruption still reads >=1.0).
+    """
+    from footprints_tpu.models.footprint import FootprintNetwork
+    from footprints_tpu.nn import layers
+    from footprints_tpu.train.losses import LossConfig, compute_losses
+
+    old_precision = layers.get_default_precision()
+    if precision is not None:
+        layers.set_default_precision(precision)
+
+    net = FootprintNetwork()
+    params, state = net.init(jax.random.PRNGKey(0))
+    keys = jax.random.split(jax.random.PRNGKey(7), 8)
+    x = jax.random.uniform(keys[0], (2, height, width, 3), jnp.float32)
+    targets = {
+        "depth": jax.random.uniform(keys[1], (2, height, width)) * 20
+        * (jax.random.uniform(keys[2], (2, height, width)) > 0.3),
+        "visible_ground": (jax.random.uniform(keys[3], (2, height, width)) > 0.5)
+        .astype(jnp.float32),
+        "all_ground": (jax.random.uniform(keys[4], (2, height, width)) > 0.4)
+        .astype(jnp.float32),
+        "ground_depth": jax.random.uniform(keys[5], (2, height, width)) * 15,
+        "depth_mask": (jax.random.uniform(keys[6], (2, height, width)) > 0.6)
+        .astype(jnp.float32),
+        "moving_object_mask": (jax.random.uniform(keys[7], (2, height, width))
+                               > 0.8).astype(jnp.float32),
+    }
+
+    def loss_fn(params, x):
+        p, xx = params, x
+        if compute_dtype is not None:
+            p = jax.tree.map(lambda a: a.astype(compute_dtype), p)
+            xx = xx.astype(compute_dtype)
+        out, _ = net.apply(p, state, xx, train=True)
+        return compute_losses(out, targets, LossConfig())["loss"]
+
+    leaf_names = [jax.tree_util.keystr(p) for p, _ in
+                  jax.tree_util.tree_flatten_with_path(params)[0]]
+
+    def probes(params, x):
+        loss, (dp, dx) = jax.value_and_grad(loss_fn, argnums=(0, 1))(params, x)
+        leaves = [g.astype(jnp.float32) for g in jax.tree.leaves(dp)]
+        # stacked per-leaf stats: a handful of outputs total (an early
+        # version returned ~660 separate scalars, which hung the tunnel's
+        # TPU compile), indexable host-side via leaf_names
+        mid = dx.shape[1] // 2
+        out = {
+            "loss": loss,
+            "dp.mean": jnp.stack([jnp.mean(jnp.abs(g)) for g in leaves]),
+            "dp.max": jnp.stack([jnp.max(jnp.abs(g)) for g in leaves]),
+            "dp.l2": jnp.sqrt(sum(jnp.sum(g * g) for g in leaves)),
+        }
+        if compute_dtype is None:  # dx is pure noise in bf16 (see docstring)
+            out.update({
+                "dx.rows": jnp.concatenate(
+                    [dx[:, :3], dx[:, -3:]], axis=1).astype(jnp.float32),
+                # interior rows discriminate a border-localized miscompile
+                # (err at rows/cols >> err here) from plain accumulated
+                # rounding (comparable err everywhere)
+                "dx.interior": dx[:, mid:mid + 3].astype(jnp.float32),
+                "dx.cols": jnp.concatenate(
+                    [dx[:, :, :2], dx[:, :, -2:]], axis=2).astype(jnp.float32),
+                "dx.absmax": jnp.max(jnp.abs(dx)).astype(jnp.float32),
+            })
+        return out
+
+    def probes_ref(params, x):
+        # distinct function object — jit caches the trace by identity
+        return probes(params, x)
+
+    from footprints_tpu.ops import pallas_conv
+
+    try:
+        p_dev = jax.jit(probes)(params, x)
+        pallas_conv.DISABLE = True
+        try:
+            p_cpu = jax.jit(probes_ref, device=cpu)(
+                *jax.device_put((params, x), cpu))
+        finally:
+            pallas_conv.DISABLE = False
+    finally:
+        layers.set_default_precision(old_precision)
+    full_f32 = compute_dtype is None and (precision or "highest") == "highest"
+    tol = TOL_F32 * 10 if full_f32 else TOL_BF16
+    tag = ("f32" if compute_dtype is None else str(compute_dtype.__name__)
+           ) + f"/{precision or 'highest'}"
+    # grads accumulate over the whole graph: wider relative scale per probe
+    ok = True
+    worst = (0.0, "")
+    dx_scale = float(np.asarray(p_cpu.get("dx.absmax", 0.0)))
+    for k in p_dev:
+        a = np.asarray(p_dev[k], np.float32)
+        b = np.asarray(p_cpu[k], np.float32)
+        if k.startswith("dx."):
+            # relative to the GLOBAL |dx| max: border values run ~10x
+            # smaller than interior, and per-probe normalization turns
+            # uniform noise into a fake border signal (see docstring)
+            scale, k_tol = max(dx_scale, 1e-12), 0.1
+        else:
+            scale = max(float(np.max(np.abs(b))), float(np.asarray(
+                p_cpu["dp.l2"])) * 1e-6, 1e-12)
+            k_tol = tol
+            if compute_dtype is not None and k in ("dp.mean", "dp.max"):
+                # bf16 per-leaf stats: sigmoid-head bias grads measure up
+                # to 0.13 rel-to-global of pure rounding noise (docstring)
+                k_tol = 0.25
+        diff = np.abs(a - b)
+        err = float(np.max(diff)) / scale
+        if err / k_tol > worst[0]:
+            worst = (err / k_tol, f"{k} (rel {err:.2e})")
+        if err > k_tol:
+            detail = ""
+            if k in ("dp.mean", "dp.max"):
+                i = int(np.argmax(diff))
+                detail = f" (worst leaf: {leaf_names[i]})"
+            print(f"  FAIL grads/{k}: rel_err={err:.6f} (tol {k_tol}){detail}")
+            ok = False
+    print(f"  {'ok  ' if ok else 'FAIL'} grads {height}x{width} {tag} "
+          f"(worst rel {worst[0]:.2e} at {worst[1]})")
+    return ok
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ops", action="store_true", help="per-op checks only")
+    ap.add_argument("--grads", action="store_true",
+                    help="backward-pass (train gradient) checks only")
     ap.add_argument("--resolutions", default="192x640",
                     help="comma list, e.g. 192x640,512x640,256x448")
     args = ap.parse_args()
+
+    # persistent compilation cache: repeat parity runs skip the ~2-5 min
+    # model/grad compiles (same knob as bench.py)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/fp_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
 
     cpu = jax.devices("cpu")[0]
     dev = jax.devices()[0]
@@ -188,6 +360,13 @@ def main():
     ok = True
     if args.ops:
         ok &= check_ops(cpu)
+    elif args.grads:
+        h, w = (int(v) for v in args.resolutions.split(",")[0].split("x"))
+        # primary: the production mixed-precision train graph
+        ok &= check_grads(cpu, h, w, compute_dtype=jnp.bfloat16,
+                          precision="default")
+        # f32/highest only at a small shape (see the compile-cost note)
+        ok &= check_grads(cpu, 96, 160)
     else:
         for res in args.resolutions.split(","):
             h, w = (int(v) for v in res.split("x"))
