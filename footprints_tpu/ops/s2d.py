@@ -42,11 +42,11 @@ from ..nn.layers import get_default_precision
 FUSED_DGRAD = os.environ.get("FOOTPRINTS_FUSED_DGRAD", "1") == "1"
 
 
-def _conv(x, w, b=None, *, precision=None):
+def _conv(x, w, b=None, *, precision=None, padding=((0, 0), (0, 0))):
     dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
     pet = jnp.float32 if x.dtype == jnp.float32 else None
     y = jax.lax.conv_general_dilated(
-        x, w, (1, 1), ((0, 0), (0, 0)), dimension_numbers=dn,
+        x, w, (1, 1), padding, dimension_numbers=dn,
         preferred_element_type=pet,
         precision=precision or get_default_precision())
     if b is not None:
@@ -280,25 +280,26 @@ _s2d_reflect_pad.defvjp(_s2d_reflect_pad_fwd, _s2d_reflect_pad_bwd)
 def _dxp_presliced(cot, kernel, precision):
     """d(xp) of y = conv_VALID(xp, kernel): full-correlation of the
     cotangent with the flipped kernel, built from pre-sliced pieces.
+    All zero pads ride the convs' native `padding` (never materialized).
 
     cot [N,H,W,Co], kernel [3,3,Ci,Co] -> dxp [N,H+2,W+2,Ci].
     """
     wt = jnp.flip(kernel, axis=(0, 1)).swapaxes(2, 3)  # [3,3,Co,Ci]
     # interior rows/cols: dxp[1:H+1, 1:W+1]
-    cot_p1 = jnp.pad(cot, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    main = _conv(cot_p1, wt, precision=precision)  # [N,H,W,Ci]
+    main = _conv(cot, wt, precision=precision,
+                 padding=((1, 1), (1, 1)))  # [N,H,W,Ci]
     # top/bottom rows of dxp (r=0 / r=H+1): only the outermost kernel tap
     # reaches past the cotangent, so each is a 1x3 conv over one cot row,
     # cols padded by 2 to cover the dxp corners
-    row_pad = ((0, 0), (0, 0), (2, 2), (0, 0))
-    top = _conv(jnp.pad(cot[:, :1], row_pad), wt[2:3], precision=precision)
-    bottom = _conv(jnp.pad(cot[:, -1:], row_pad), wt[0:1], precision=precision)
+    top = _conv(cot[:, :1], wt[2:3], precision=precision,
+                padding=((0, 0), (2, 2)))
+    bottom = _conv(cot[:, -1:], wt[0:1], precision=precision,
+                   padding=((0, 0), (2, 2)))
     # left/right interior cols of dxp (c=0 / c=W+1, rows 1..H): 3x1 convs
-    col_pad = ((0, 0), (1, 1), (0, 0), (0, 0))
-    left = _conv(jnp.pad(cot[:, :, :1], col_pad), wt[:, 2:3],
-                 precision=precision)
-    right = _conv(jnp.pad(cot[:, :, -1:], col_pad), wt[:, 0:1],
-                  precision=precision)
+    left = _conv(cot[:, :, :1], wt[:, 2:3], precision=precision,
+                 padding=((1, 1), (0, 0)))
+    right = _conv(cot[:, :, -1:], wt[:, 0:1], precision=precision,
+                  padding=((1, 1), (0, 0)))
     mid = jnp.concatenate([left, main, right], axis=2)  # [N,H,W+2,Ci]
     return jnp.concatenate([top, mid, bottom], axis=1)  # [N,H+2,W+2,Ci]
 
