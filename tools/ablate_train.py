@@ -45,9 +45,11 @@ def _time_loop(chain, args, n_lo, n_hi):
 
     run(1)
     run(n_lo)
-    t_lo = run(n_lo)
-    t_hi = run(n_hi)
-    return max((t_hi - t_lo) / (n_hi - n_lo), 1e-9)
+    # median of three ~1-2 s windows — same jitter rationale as bench.py
+    import statistics
+    per_iter = statistics.median(
+        (run(n_hi) - run(n_lo)) / (n_hi - n_lo) for _ in range(3))
+    return max(per_iter, 1e-9)
 
 
 def make_batch(batch):
@@ -126,7 +128,7 @@ def main():
             carry = jax.lax.fori_loop(0, n, body, ts)
             return jax.tree.leaves(carry["params"])[0].ravel()[0]
 
-        sec = _time_loop(chain, (ts,), 1, 5)
+        sec = _time_loop(chain, (ts,), 1, 25)
 
     elif config == "fwd_loss":
         @jax.jit
@@ -140,7 +142,7 @@ def main():
                 return losses["loss"]
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-        sec = _time_loop(chain, (ts,), 2, 10)
+        sec = _time_loop(chain, (ts,), 2, 30)
 
     elif config == "fwd_bwd":
         def loss_fn(params, state, image):
@@ -157,7 +159,7 @@ def main():
                 return jax.tree.leaves(g)[0].ravel()[0]
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-        sec = _time_loop(chain, (ts,), 1, 5)
+        sec = _time_loop(chain, (ts,), 1, 25)
 
     elif config == "opt_only":
         opt = make_optimizer(cfg)
@@ -175,7 +177,7 @@ def main():
             params, opt_state = jax.lax.fori_loop(0, n, body, (ts["params"], ts["opt_state"]))
             return jax.tree.leaves(params)[0].ravel()[0]
 
-        sec = _time_loop(chain, (ts,), 4, 20)
+        sec = _time_loop(chain, (ts,), 4, 60)
 
     elif config == "loss11":
         opt = make_optimizer(cfg)
@@ -199,7 +201,7 @@ def main():
                 0, n, body, (ts["params"], ts["state"], ts["opt_state"]))
             return jax.tree.leaves(params)[0].ravel()[0]
 
-        sec = _time_loop(chain, (ts,), 1, 5)
+        sec = _time_loop(chain, (ts,), 1, 25)
 
     elif config == "bwd_sgd":
         # grad + plain SGD update: params are a LOOP VARIABLE but no Adam,
@@ -218,7 +220,7 @@ def main():
             params = jax.lax.fori_loop(0, n, body, ts["params"])
             return jax.tree.leaves(params)[0].ravel()[0]
 
-        sec = _time_loop(chain, (ts,), 1, 5)
+        sec = _time_loop(chain, (ts,), 1, 25)
 
     elif config == "bwd_adam":
         # grad + Adam update, carry (params, opt_state); still no BN-state
@@ -242,7 +244,7 @@ def main():
             params, _ = jax.lax.fori_loop(0, n, body, (ts["params"], ts["opt_state"]))
             return jax.tree.leaves(params)[0].ravel()[0]
 
-        sec = _time_loop(chain, (ts,), 1, 5)
+        sec = _time_loop(chain, (ts,), 1, 25)
 
     elif config == "enc_only":
         from footprints_tpu.nn import resnet
@@ -262,7 +264,7 @@ def main():
                 return jax.tree.leaves(g["encoder"])[0].ravel()[0]
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-        sec = _time_loop(chain, (ts,), 2, 10)
+        sec = _time_loop(chain, (ts,), 2, 30)
 
     else:
         raise SystemExit(f"unknown config {config}")

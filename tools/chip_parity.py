@@ -107,6 +107,48 @@ def check_model(height, width, dtype, cpu):
     return _compare(f"model {height}x{width} {tag}", p_dev, p_cpu, tol)
 
 
+def check_seg(height, width, dtype, cpu):
+    """Segmentor (preprocessing pipeline A) forward, chip vs CPU.
+
+    The seg net shares the encoder/decoder conv stack with FootprintNetwork
+    but adds code paths the footprint model never runs: the PSP bottleneck
+    (adaptive-avg-pool to 1/2/4/6 + align_corners=True bilinear resize,
+    models/segmentor.py) and native-scale logit heads.  Same probe scheme
+    as check_model, one probe per output scale.
+    """
+    from footprints_tpu.models.segmentor import Segmentor
+
+    net = Segmentor(depth=34, use_psp=True)
+    params, state = net.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, height, width, 3),
+                           jnp.float32)
+
+    def fwd(params, state, x):
+        if dtype == jnp.bfloat16:
+            params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+            x = x.astype(jnp.bfloat16)
+        outs = net.apply(params, state, x, train=False)[0]
+        return {f"s{i}.{pk}": pv
+                for i, o in enumerate(outs)
+                for pk, pv in _probe(o.astype(jnp.float32)).items()}
+
+    from footprints_tpu.ops import pallas_conv
+
+    def fwd_ref(params, state, x):
+        return fwd(params, state, x)
+
+    p_dev = jax.jit(fwd)(params, state, x)
+    pallas_conv.DISABLE = True
+    try:
+        p_cpu = jax.jit(fwd_ref, device=cpu)(
+            *jax.device_put((params, state, x), cpu))
+    finally:
+        pallas_conv.DISABLE = False
+    tol = TOL_F32 if dtype == jnp.float32 else TOL_BF16
+    tag = "f32" if dtype == jnp.float32 else "bf16"
+    return _compare(f"seg {height}x{width} {tag}", p_dev, p_cpu, tol)
+
+
 def check_ops(cpu):
     """Each fast op at its real model shapes, chip vs CPU."""
     from footprints_tpu.ops.s2d import (s2d_conv3x3_reflect, up_conv_to_s2d,
@@ -339,6 +381,8 @@ def main():
     ap.add_argument("--ops", action="store_true", help="per-op checks only")
     ap.add_argument("--grads", action="store_true",
                     help="backward-pass (train gradient) checks only")
+    ap.add_argument("--seg", action="store_true",
+                    help="segmentation network checks only")
     ap.add_argument("--resolutions", default="192x640",
                     help="comma list, e.g. 192x640,512x640,256x448")
     args = ap.parse_args()
@@ -367,11 +411,20 @@ def main():
                           precision="default")
         # f32/highest only at a small shape (see the compile-cost note)
         ok &= check_grads(cpu, 96, 160)
+    elif args.seg:
+        h, w = (int(v) for v in args.resolutions.split(",")[0].split("x"))
+        ok &= check_seg(h, w, jnp.float32, cpu)
+        ok &= check_seg(h, w, jnp.bfloat16, cpu)
     else:
         for res in args.resolutions.split(","):
             h, w = (int(v) for v in res.split("x"))
             ok &= check_model(h, w, jnp.float32, cpu)
             ok &= check_model(h, w, jnp.bfloat16, cpu)
+        # the seg net's unique paths (PSP pool + align_corners resize)
+        # at the first resolution
+        h, w = (int(v) for v in args.resolutions.split(",")[0].split("x"))
+        ok &= check_seg(h, w, jnp.float32, cpu)
+        ok &= check_seg(h, w, jnp.bfloat16, cpu)
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 
