@@ -15,6 +15,13 @@ import jax.numpy as jnp
 from . import init as nn_init
 from .layers import batch_norm, conv2d, max_pool_3x3_s2, relu
 
+# NOTE (r3, measured-and-removed): a space-to-depth stem (7x7/stride-2 RGB
+# conv re-expressed as an exact 4x4/stride-1 conv over the 2x2-packed
+# 12-channel input — the MLPerf-style trick) was built, golden-verified,
+# and A/B'd on chip: train 179.5 vs 180.0 imgs/s, serving 982 vs 1011.
+# The input relayout costs more than the shallow conv saves on this
+# backend.  Don't re-add without new numbers (PERF.md).
+
 # depth -> (block kind, blocks per stage)
 ARCHS = {
     18: ("basic", (2, 2, 2, 2)),
