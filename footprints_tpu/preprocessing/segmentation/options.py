@@ -26,6 +26,11 @@ class Options:
         p.add_argument("--batch_size", type=int, default=12)
         p.add_argument("--val_batches", type=int, default=10)
         p.add_argument("--lr", type=float, default=1e-4)
+        p.add_argument("--compute_dtype", type=str, default="float32",
+                       choices=["float32", "bfloat16"],
+                       help="train-step compute dtype (bf16 compute copies, "
+                            "f32 master params/loss — same mixed-precision "
+                            "design as the main trainer)")
         p.add_argument("--num_workers", type=int, default=4)
         p.add_argument("--model_name", type=str, default="model")
         p.add_argument("--log_path", type=str, default="./logs")

@@ -13,6 +13,7 @@ model-only .pth).
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -102,6 +103,11 @@ class Trainer:
                 self.opt.log_path, self.opt.model_name, "val"))
         except ImportError:
             self.train_writer = self.val_writer = None
+        # jit once: constructing jax.jit(lambda ...) inside _log would
+        # retrace/recompile the full forward on every image-log event
+        # (same fix as train/trainer.py's _log_forward)
+        self._log_forward = jax.jit(
+            lambda p, st, im: self.net.apply(p, st, im, train=False)[0])
         self.step = 0
         self.val_iter = iter(self.val_loader)
 
@@ -110,9 +116,21 @@ class Trainer:
     def _build_train_step(self):
         optimizer = self.optimizer
         net = self.net
+        mixed = getattr(self.opt, "compute_dtype", None) in ("bfloat16",
+                                                             "bf16")
 
         def loss_fn(params, state, batch):
-            outputs, new_state = net.apply(params, state, batch["image"],
+            if mixed:
+                # bf16 compute copy of the params; grads flow back to the
+                # f32 masters (loss stays f32 — compute_seg_losses upcasts
+                # the logits — same design as train/step.py's mixed path)
+                fwd_params = jax.tree.map(
+                    lambda a: a.astype(jnp.bfloat16) if a is not None
+                    else None, params)
+                image = batch["image"].astype(jnp.bfloat16)
+            else:
+                fwd_params, image = params, batch["image"]
+            outputs, new_state = net.apply(fwd_params, state, image,
                                            train=True)
             losses = compute_seg_losses(outputs, batch["ground_mask"],
                                         batch["labelled_pix"])
@@ -219,10 +237,9 @@ class Trainer:
             writer.add_scalar(k, float(v), self.step)
         if batch is not None and getattr(self.opt, "log_images", False):
             # [image | gt-mask | sigmoid pred] panels (reference logger.py)
-            outs, _ = jax.jit(
-                lambda p, st, im: self.net.apply(p, st, im, train=False)
-            )(self.train_state["params"], self.train_state["state"],
-              batch["image"])
+            outs = self._log_forward(
+                self.train_state["params"], self.train_state["state"],
+                batch["image"])
             pred = np.asarray(jax.nn.sigmoid(outs[3][..., 0]))
             import matplotlib.pyplot as plt
 

@@ -137,8 +137,13 @@ def test_prepare_size_aspect_and_crop():
 
 
 @pytest.mark.slow
-def test_seg_train_and_infer_end_to_end(tmp_path, ade20k_tree):
-    """Tiny Trainer run (PSP on, resnet18) + Tester over a kitti tree."""
+@pytest.mark.parametrize("compute_dtype", ["float32", "bfloat16"])
+def test_seg_train_and_infer_end_to_end(tmp_path, ade20k_tree, compute_dtype):
+    """Tiny Trainer run (PSP on, resnet18) + Tester over a kitti tree.
+
+    The bfloat16 leg exercises the seg trainer's mixed-precision path
+    (bf16 compute copies, f32 masters — mirrors train/step.py) and skips
+    the inference half (dtype-independent, covered by the f32 leg)."""
     from footprints_tpu.preprocessing.segmentation.inference import Tester
     from footprints_tpu.preprocessing.segmentation.options import Options
     from footprints_tpu.preprocessing.segmentation.trainer import Trainer
@@ -177,12 +182,21 @@ def test_seg_train_and_infer_end_to_end(tmp_path, ade20k_tree):
             "--log_freq", "1000000", "--config_path", str(config),
             "--log_path", str(tmp_path / "logs"),
             "--split_root", str(tmp_path / "splits"),
-            "--encoder_depth", "18", "--model_name", "seg"]
+            "--encoder_depth", "18", "--model_name", "seg",
+            "--compute_dtype", compute_dtype]
     opts = Options().parse(argv)
     trainer = Trainer(opts)
     trainer.train()
     ckpt = tmp_path / "logs" / "seg" / "models" / "epoch_0" / "checkpoint.npz"
     assert ckpt.exists()
+    if compute_dtype == "bfloat16":
+        # masters must stay f32 through the mixed step
+        import jax
+        from footprints_tpu.train.checkpoint import load_checkpoint
+        loaded = load_checkpoint(str(ckpt))
+        leaves = jax.tree.leaves(loaded["params"])
+        assert all(l.dtype == np.float32 for l in leaves)
+        return
 
     # inference over the kitti split using the trained checkpoint
     argv_inf = ["--mode", "inference", "--test_data_type", "kitti",
