@@ -24,8 +24,9 @@ warning).  The kernel matched the pure-numpy reference while the XLA
 composition did not.  Against the *fixed* where-select composition the
 kernel is slower at every model shape (see ENABLE_MODEL_PATH below), so
 the model path is opt-in; the kernel remains golden-tested and cross-
-checked on chip every `python tools/chip_parity.py` run as an independent
-second opinion on the XLA path.
+checked on chip by `python tools/chip_parity.py --ops` (the default
+model-level run only exercises Pallas when FOOTPRINTS_PALLAS_CONV=1) as
+an independent second opinion on the XLA path.
 
 Wired into the decoder tail/up-concat fast paths (nn/blocks.py) behind a
 custom_vjp whose backward falls back to the XLA composition.

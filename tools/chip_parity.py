@@ -11,6 +11,8 @@ guard.  Run it on the real chip after touching any op in the compute path:
 
     python tools/chip_parity.py            # model-level, all resolutions
     python tools/chip_parity.py --ops      # per-op checks at model shapes
+    python tools/chip_parity.py --grads    # train backwards (footprint+seg)
+    python tools/chip_parity.py --seg --grads   # seg backward only
 
 Probes are tiny (border rows + on-device checksums) because device->host
 fetches through the tunnel run at ~KB-MB/s (.claude/skills/verify/SKILL.md).
@@ -290,6 +292,19 @@ def check_grads(cpu, height=192, width=640, compute_dtype=None,
         out, _ = net.apply(p, state, xx, train=True)
         return compute_losses(out, targets, LossConfig())["loss"]
 
+    tag = ("f32" if compute_dtype is None else str(compute_dtype.__name__)
+           ) + f"/{precision or 'highest'}"
+    try:
+        return _grad_parity(f"grads {height}x{width} {tag}", loss_fn, params,
+                            x, cpu, compute_dtype, precision)
+    finally:
+        layers.set_default_precision(old_precision)
+
+
+def _grad_parity(label, loss_fn, params, x, cpu, compute_dtype, precision):
+    """Shared backward-parity core: probe jax.grad(loss_fn) w.r.t. (params,
+    x) on chip and on the CPU backend from the same trace, compare with the
+    calibrated dp/dx tolerances (see check_grads's docstring)."""
     leaf_names = [jax.tree_util.keystr(p) for p, _ in
                   jax.tree_util.tree_flatten_with_path(params)[0]]
 
@@ -326,20 +341,15 @@ def check_grads(cpu, height=192, width=640, compute_dtype=None,
 
     from footprints_tpu.ops import pallas_conv
 
+    p_dev = jax.jit(probes)(params, x)
+    pallas_conv.DISABLE = True
     try:
-        p_dev = jax.jit(probes)(params, x)
-        pallas_conv.DISABLE = True
-        try:
-            p_cpu = jax.jit(probes_ref, device=cpu)(
-                *jax.device_put((params, x), cpu))
-        finally:
-            pallas_conv.DISABLE = False
+        p_cpu = jax.jit(probes_ref, device=cpu)(
+            *jax.device_put((params, x), cpu))
     finally:
-        layers.set_default_precision(old_precision)
+        pallas_conv.DISABLE = False
     full_f32 = compute_dtype is None and (precision or "highest") == "highest"
     tol = TOL_F32 * 10 if full_f32 else TOL_BF16
-    tag = ("f32" if compute_dtype is None else str(compute_dtype.__name__)
-           ) + f"/{precision or 'highest'}"
     # grads accumulate over the whole graph: wider relative scale per probe
     ok = True
     worst = (0.0, "")
@@ -369,11 +379,57 @@ def check_grads(cpu, height=192, width=640, compute_dtype=None,
             if k in ("dp.mean", "dp.max"):
                 i = int(np.argmax(diff))
                 detail = f" (worst leaf: {leaf_names[i]})"
-            print(f"  FAIL grads/{k}: rel_err={err:.6f} (tol {k_tol}){detail}")
+            print(f"  FAIL {label}/{k}: rel_err={err:.6f} (tol {k_tol}){detail}")
             ok = False
-    print(f"  {'ok  ' if ok else 'FAIL'} grads {height}x{width} {tag} "
+    print(f"  {'ok  ' if ok else 'FAIL'} {label} "
           f"(worst rel {worst[0]:.2e} at {worst[1]})")
     return ok
+
+
+def check_seg_grads(cpu, height=192, width=640, compute_dtype=None,
+                    precision=None):
+    """Backward parity for the Segmentor train graph (pipeline A).
+
+    Covers backward paths the footprint check never exercises: the PSP
+    adaptive-avg-pool (overlapping mean slices), the align_corners=True
+    resize-as-matmul transposes (models/segmentor.py), and the per-scale
+    bilinear loss upsample (preprocessing/segmentation/losses.py).  The
+    bf16/default config is the graph the seg trainer's mixed-precision
+    path compiles (preprocessing/segmentation/trainer.py).
+    """
+    from footprints_tpu.models.segmentor import Segmentor
+    from footprints_tpu.nn import layers
+    from footprints_tpu.preprocessing.segmentation.losses import (
+        compute_seg_losses)
+
+    old_precision = layers.get_default_precision()
+    if precision is not None:
+        layers.set_default_precision(precision)
+
+    net = Segmentor(depth=34, use_psp=True)
+    params, state = net.init(jax.random.PRNGKey(0))
+    keys = jax.random.split(jax.random.PRNGKey(7), 3)
+    x = jax.random.uniform(keys[0], (2, height, width, 3), jnp.float32)
+    ground_mask = (jax.random.uniform(keys[1], (2, height, width)) > 0.5
+                   ).astype(jnp.float32)
+    labelled_pix = (jax.random.uniform(keys[2], (2, height, width)) > 0.2
+                    ).astype(jnp.float32)
+
+    def loss_fn(params, x):
+        p, xx = params, x
+        if compute_dtype is not None:
+            p = jax.tree.map(lambda a: a.astype(compute_dtype), p)
+            xx = xx.astype(compute_dtype)
+        outs, _ = net.apply(p, state, xx, train=True)
+        return compute_seg_losses(outs, ground_mask, labelled_pix)["loss"]
+
+    tag = ("f32" if compute_dtype is None else str(compute_dtype.__name__)
+           ) + f"/{precision or 'highest'}"
+    try:
+        return _grad_parity(f"seg-grads {height}x{width} {tag}", loss_fn,
+                            params, x, cpu, compute_dtype, precision)
+    finally:
+        layers.set_default_precision(old_precision)
 
 
 def main():
@@ -404,6 +460,11 @@ def main():
     ok = True
     if args.ops:
         ok &= check_ops(cpu)
+    elif args.grads and args.seg:
+        h, w = (int(v) for v in args.resolutions.split(",")[0].split("x"))
+        ok &= check_seg_grads(cpu, h, w, compute_dtype=jnp.bfloat16,
+                              precision="default")
+        ok &= check_seg_grads(cpu, 96, 160)
     elif args.grads:
         h, w = (int(v) for v in args.resolutions.split(",")[0].split("x"))
         # primary: the production mixed-precision train graph
@@ -411,6 +472,9 @@ def main():
                           precision="default")
         # f32/highest only at a small shape (see the compile-cost note)
         ok &= check_grads(cpu, 96, 160)
+        # seg backward (PSP pool / align_corners transposes), mixed graph
+        ok &= check_seg_grads(cpu, h, w, compute_dtype=jnp.bfloat16,
+                              precision="default")
     elif args.seg:
         h, w = (int(v) for v in args.resolutions.split(",")[0].split("x"))
         ok &= check_seg(h, w, jnp.float32, cpu)
