@@ -172,8 +172,15 @@ def main():
     imgs_sec_f32, _ = bench_jax("highest", BATCH)
     _, lat1_bf16 = bench_jax("default", 1)
     train_imgs_sec = bench_train()
-    # recipe variant: batch 16 fills all sublanes (see README training note)
-    train_imgs_sec_b16 = bench_train(16)
+    # recipe variant: batch 16 fills all sublanes (see README training note);
+    # best-effort — never let the extra compile sink the headline numbers
+    try:
+        train_imgs_sec_b16 = bench_train(16)
+    except Exception as e:
+        import sys
+
+        print(f"bench_train(16) failed: {e!r}", file=sys.stderr, flush=True)
+        train_imgs_sec_b16 = None
     torch_p50 = bench_torch_cpu()
 
     vs_baseline = (torch_p50 / lat1_bf16) if torch_p50 else None
@@ -186,7 +193,8 @@ def main():
         "p50_latency_ms_bf16": round(lat1_bf16 * 1e3, 3),
         "imgs_per_sec_f32": round(imgs_sec_f32, 2),
         "train_imgs_per_sec_bf16": round(train_imgs_sec, 2),
-        "train_imgs_per_sec_bf16_b16": round(train_imgs_sec_b16, 2),
+        "train_imgs_per_sec_bf16_b16": (round(train_imgs_sec_b16, 2)
+                                        if train_imgs_sec_b16 else None),
         "torch_cpu_p50_ms": round(torch_p50 * 1e3, 1) if torch_p50 else None,
         "batch": BATCH,
     }
