@@ -77,12 +77,21 @@ def _rebuild_parameter(data, requires_grad=True, backward_hooks=None):
     return data
 
 
+# torch._utils._rebuild_tensor (no _v2) is the pre-torch-0.4 form used by
+# the 2017 torchvision model-zoo files (resnet34-333f7ec4.pth etc.) that
+# convert/torchvision_resnet.py downloads: same (storage, offset, size,
+# stride) prefix, no requires_grad/backward_hooks tail.  _rebuild_tensor_v2
+# already tolerates extra args, so one emulation serves both.
+_rebuild_tensor = _rebuild_tensor_v2
+
+
 class _TorchUnpickler(pickle.Unpickler):
     """Restricted unpickler: emulated torch callables only, no code exec."""
 
     _ALLOWED = {
         ("collections", "OrderedDict"): __import__("collections").OrderedDict,
         ("torch._utils", "_rebuild_tensor_v2"): _rebuild_tensor_v2,
+        ("torch._utils", "_rebuild_tensor"): _rebuild_tensor,
         ("torch._utils", "_rebuild_parameter"): _rebuild_parameter,
     }
 
@@ -172,6 +181,7 @@ def _load_legacy(path):
         unpickler = _TorchUnpickler(f, storages)
         unpickler._ALLOWED = dict(unpickler._ALLOWED)
         unpickler._ALLOWED[("torch._utils", "_rebuild_tensor_v2")] = deferred_rebuild
+        unpickler._ALLOWED[("torch._utils", "_rebuild_tensor")] = deferred_rebuild
         result = unpickler.load()
 
         key_order = pickle.load(f)  # list of storage keys in write order

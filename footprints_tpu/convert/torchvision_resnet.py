@@ -59,12 +59,40 @@ def _rename_torchvision_keys(sd):
     return out
 
 
+class _KeyTracker(dict):
+    """Dict that records which keys the mapper actually consumed, so a
+    deeper-than-requested state_dict (e.g. resnet34 file + --encoder_depth
+    18: every key the shallower arch reads exists with the right shape)
+    cannot silently truncate into a valid-looking shallower encoder."""
+
+    def __init__(self, base):
+        super().__init__(base)
+        self.used = set()
+
+    def __getitem__(self, k):
+        self.used.add(k)
+        return super().__getitem__(k)
+
+
+def _check_all_consumed(tracker, what):
+    leftover = {k for k in tracker if k not in tracker.used
+                and not k.endswith("num_batches_tracked")}
+    if leftover:
+        raise ValueError(
+            f"{what}: {len(leftover)} weight tensors were not consumed by "
+            f"the requested encoder depth (wrong --encoder_depth for this "
+            f"file?): e.g. {sorted(leftover)[:4]}")
+
+
 def encoder_from_torchvision_state_dict(sd, depth=34):
     """torchvision ResNet state_dict -> encoder (params, state) pytrees."""
     import numpy as np
 
-    sd = {k: np.asarray(v) for k, v in sd.items()}
-    return _encoder_from_sd(_rename_torchvision_keys(sd), depth=depth)
+    sd = _KeyTracker({k: np.asarray(v)
+                      for k, v in _rename_torchvision_keys(sd).items()})
+    out = _encoder_from_sd(sd, depth=depth)
+    _check_all_consumed(sd, "torchvision state_dict")
+    return out
 
 
 def load_pretrained_encoder(path, depth=34):
@@ -78,9 +106,11 @@ def load_pretrained_encoder(path, depth=34):
     if any(k.startswith("encoder.layer0.0.") for k in sd):
         import numpy as np
 
-        sd = {k: np.asarray(v) for k, v in sd.items()
-              if k.startswith("encoder.")}
-        return _encoder_from_sd(sd, depth=depth)
+        sd = _KeyTracker({k: np.asarray(v) for k, v in sd.items()
+                          if k.startswith("encoder.")})
+        out = _encoder_from_sd(sd, depth=depth)
+        _check_all_consumed(sd, "wrapped-encoder state_dict")
+        return out
     return encoder_from_torchvision_state_dict(sd, depth=depth)
 
 
@@ -108,14 +138,33 @@ def download_imagenet_encoder_if_doesnt_exist(depth=34, weights_dir=ENCODER_DIR)
     return path
 
 
-def resolve_pretrained_encoder(spec, depth=34):
+def resolve_pretrained_encoder(spec, depth=34, expected=None):
     """Resolve a ``--pretrained_encoder`` value to (params, state).
 
     ``spec`` is a local ``.pth`` path, or the literal ``"download"`` to
     fetch torchvision's ImageNet weights (needs network egress).
+
+    ``expected``, when given, is the target model's ``(params["encoder"],
+    state["encoder"])`` pytrees; the loaded trees must match their structure
+    and leaf shapes exactly, so a wrong-depth or wrong-arch file fails here
+    with a clear message instead of as an XLA shape error inside the first
+    jitted train step.
     """
     if spec == "download":
         spec = download_imagenet_encoder_if_doesnt_exist(depth)
     if not os.path.exists(spec):
         raise FileNotFoundError(f"pretrained encoder weights not found: {spec}")
-    return load_pretrained_encoder(spec, depth=depth)
+    out = load_pretrained_encoder(spec, depth=depth)
+    if expected is not None:
+        import jax
+
+        for got, want in zip(out, expected):
+            gs = [(jax.tree_util.keystr(p), v.shape) for p, v in
+                  jax.tree_util.tree_flatten_with_path(got)[0]]
+            ws = [(jax.tree_util.keystr(p), v.shape) for p, v in
+                  jax.tree_util.tree_flatten_with_path(want)[0]]
+            if gs != ws:
+                raise ValueError(
+                    f"pretrained encoder layout mismatch (is it a "
+                    f"resnet{depth}?): {set(ws) ^ set(gs)}")
+    return out

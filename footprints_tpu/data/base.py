@@ -46,7 +46,7 @@ class FootprintsDataset:
     # -- shared loading helpers ------------------------------------------------
 
     def load_and_resize_image(self, path, do_flip, method=LANCZOS):
-        if method is LANCZOS and os.environ.get("FOOTPRINTS_NATIVE_RESIZE"):
+        if method is LANCZOS and os.environ.get("FOOTPRINTS_NATIVE_RESIZE") == "1":
             # native/ fp_image resampler: byte-exact vs PIL LANCZOS
             # (tests/test_native.py); lets PIL-free hosts run the pipeline
             from .. import native

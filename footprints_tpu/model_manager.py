@@ -45,18 +45,9 @@ class ModelManager:
             from .convert import resolve_pretrained_encoder
 
             print(f"initializing encoder from {pretrained_encoder}...")
-            enc_p, enc_s = resolve_pretrained_encoder(pretrained_encoder,
-                                                      depth=depth)
-            for got, want in ((enc_p, self.params["encoder"]),
-                              (enc_s, self.state["encoder"])):
-                gs = [(jax.tree_util.keystr(p), v.shape) for p, v in
-                      jax.tree_util.tree_flatten_with_path(got)[0]]
-                ws = [(jax.tree_util.keystr(p), v.shape) for p, v in
-                      jax.tree_util.tree_flatten_with_path(want)[0]]
-                if gs != ws:
-                    raise ValueError(
-                        f"pretrained encoder layout mismatch (is it a "
-                        f"resnet{depth}?): {set(ws) ^ set(gs)}")
+            enc_p, enc_s = resolve_pretrained_encoder(
+                pretrained_encoder, depth=depth,
+                expected=(self.params["encoder"], self.state["encoder"]))
             self.params["encoder"] = enc_p
             self.state["encoder"] = enc_s
         self.step = np.zeros((), np.int32)

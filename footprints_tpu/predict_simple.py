@@ -58,7 +58,15 @@ class InferenceManager:
         self.model_manager.load_model(weights_path=model_load_folder)
 
         if height is None or width is None:
-            height, width = MODEL_HEIGHT_WIDTH[model_name]
+            if model_name is None:
+                # --model_path without --model: no named resolution to look
+                # up — default to the KITTI training resolution, overridable
+                # via --height/--width
+                height, width = MODEL_HEIGHT_WIDTH["kitti"]
+                print(f"note: no --model given; assuming {height}x{width} "
+                      "input (override with --height/--width)")
+            else:
+                height, width = MODEL_HEIGHT_WIDTH[model_name]
         self.height, self.width = height, width
         self.apply_sigmoid = apply_sigmoid
         self.batch_size = batch_size

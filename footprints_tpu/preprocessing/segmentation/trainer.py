@@ -65,7 +65,10 @@ class Trainer:
 
             print(f"initializing encoder from {pretrained}...")
             self.params["encoder"], self.state["encoder"] = (
-                resolve_pretrained_encoder(pretrained, depth=self.net.depth))
+                resolve_pretrained_encoder(
+                    pretrained, depth=self.net.depth,
+                    expected=(self.params["encoder"],
+                              self.state["encoder"])))
         if self.opt.load_path is not None:
             self.params, self.state = _load_segmentor_weights(
                 self.net, self.opt.load_path)

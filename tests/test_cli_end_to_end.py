@@ -48,6 +48,16 @@ def test_predict_simple_end_to_end(tmp_path, model_dir):
     assert vis.shape[:2] == (orig.size[1], orig.size[0])
 
 
+def test_predict_simple_model_path_without_model_name(tmp_path, model_dir):
+    """--model_path with no --model must not crash on the resolution lookup
+    (regression: KeyError None); it defaults to the KITTI 192x640."""
+    from footprints_tpu.predict_simple import InferenceManager
+
+    m = InferenceManager(model_name=None, save_dir=str(tmp_path / "p"),
+                         model_load_folder=model_dir)
+    assert (m.height, m.width) == (192, 640)
+
+
 def test_predict_simple_folder_mode(tmp_path, model_dir):
     from footprints_tpu.predict_simple import main
 

@@ -76,6 +76,50 @@ def test_segmentor_parity(tmp_path):
         assert mae < 1e-5, f"scale {i}: MAE {mae}"
 
 
+def _rewrite_rebuild_v1(data: bytes) -> bytes:
+    """Rewrite a pickle stream's _rebuild_tensor_v2 globals to the pre-0.4
+    _rebuild_tensor form the 2017 torchvision model-zoo files use (the
+    emulation tolerates v2's two extra args, so only the name matters)."""
+    # GLOBAL text form (protocol <=3) and STACK_GLOBAL short-unicode form
+    data = data.replace(b"_rebuild_tensor_v2\n", b"_rebuild_tensor\n")
+    return data.replace(b"\x12_rebuild_tensor_v2", b"\x0f_rebuild_tensor")
+
+
+@pytest.mark.parametrize("zip_format", [True, False])
+def test_legacy_rebuild_tensor_v1(tmp_path, zip_format):
+    """The restricted unpickler must accept torch._utils._rebuild_tensor —
+    the rebuild call written by pre-torch-0.4 serialization, which is what
+    the md5/sha-pinned ImageNet zoo files convert/torchvision_resnet.py
+    downloads actually contain."""
+    import io
+    import zipfile
+
+    torch.manual_seed(1)
+    conv = torch.nn.Conv2d(3, 4, 3)
+    sd = {"w": conv.weight.detach(), "b": conv.bias.detach()}
+    p = tmp_path / "v1.pth"
+    torch.save(sd, str(p), _use_new_zipfile_serialization=zip_format)
+    raw = p.read_bytes()
+    if zip_format:
+        out = io.BytesIO()
+        with zipfile.ZipFile(io.BytesIO(raw)) as zin, \
+                zipfile.ZipFile(out, "w") as zout:
+            for n in zin.namelist():
+                body = zin.read(n)
+                if n.endswith("data.pkl"):
+                    body = _rewrite_rebuild_v1(body)
+                zout.writestr(n, body)
+        p.write_bytes(out.getvalue())
+    else:
+        rewritten = _rewrite_rebuild_v1(raw)
+        assert rewritten != raw, "expected a _rebuild_tensor_v2 global"
+        p.write_bytes(rewritten)
+
+    loaded = load_torch_state_dict(str(p))
+    np.testing.assert_array_equal(loaded["w"], conv.weight.detach().numpy())
+    np.testing.assert_array_equal(loaded["b"], conv.bias.detach().numpy())
+
+
 def test_converter_roundtrip_values(tmp_path):
     """Converter preserves exact weight values (spot check on raw tensors)."""
     torch.manual_seed(0)

@@ -105,6 +105,33 @@ def test_pretrained_encoder_depth_mismatch_raises(tv_checkpoint):
         ModelManager(seed=10, pretrained_encoder=path, depth=50)
 
 
+def test_deeper_file_with_shallower_depth_raises(tv_checkpoint):
+    """A resnet34 file read at --encoder_depth 18 must NOT silently truncate
+    into a plausible-looking resnet18 (every key the shallower arch reads
+    exists with the right shape — only the leftover-key check catches it)."""
+    _, path = tv_checkpoint
+    with pytest.raises(ValueError, match="not consumed"):
+        load_pretrained_encoder(path, depth=18)
+
+
+def test_resolve_expected_layout_mismatch_raises(tv_checkpoint):
+    """The shared `expected` layout check (used by ModelManager AND the seg
+    Trainer) rejects shape drift with a clear error."""
+    from footprints_tpu.convert import resolve_pretrained_encoder
+
+    _, path = tv_checkpoint
+    good_p, good_s = load_pretrained_encoder(path, depth=34)
+    bad_p = jax.tree.map(lambda a: a, good_p)
+    bad_p["stem_conv"]["w"] = np.zeros((3, 3, 3, 64), np.float32)  # not 7x7
+    with pytest.raises(ValueError, match="layout mismatch"):
+        resolve_pretrained_encoder(path, depth=34, expected=(bad_p, good_s))
+    # and the happy path still returns the trees
+    p, s = resolve_pretrained_encoder(path, depth=34,
+                                      expected=(good_p, good_s))
+    np.testing.assert_array_equal(np.asarray(p["stem_conv"]["w"]),
+                                  np.asarray(good_p["stem_conv"]["w"]))
+
+
 def test_pretrained_encoder_missing_file_raises():
     with pytest.raises(FileNotFoundError):
         ModelManager(seed=10, pretrained_encoder="/nonexistent/resnet34.pth")
