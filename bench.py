@@ -158,7 +158,42 @@ def bench_torch_cpu():
     return statistics.median(lats)
 
 
+def _watchdog(deadline_s, what):
+    """Hard-exit if `deadline_s` passes before the returned disarm() is called.
+
+    The axon tunnel's backend init hangs forever when the tunnel is down
+    (observed r3-end: UNAVAILABLE then an indefinite block inside
+    jax.devices()); a hung bench stalls the driver, so convert it into a
+    bounded, labeled failure.  Returns a disarm() callable.
+    """
+    import threading
+
+    fired = threading.Event()
+
+    def boom():
+        if not fired.is_set():
+            print(f"bench watchdog: {what} exceeded {deadline_s}s — "
+                  "assuming the TPU tunnel is down; aborting without a "
+                  "metric line", file=sys.stderr, flush=True)
+            os._exit(3)
+
+    t = threading.Timer(deadline_s, boom)
+    t.daemon = True
+    t.start()
+
+    def disarm():
+        fired.set()
+        t.cancel()
+
+    return disarm
+
+
 def main():
+    # whole-run ceiling: a cold-cache run through the tunnel is ~30-45 min;
+    # 2x headroom, overridable for pathological cache states
+    _watchdog(int(os.environ.get("FOOTPRINTS_BENCH_DEADLINE", "5400")),
+              "total bench run")
+
     import jax
 
     # persistent compilation cache: repeat bench runs skip ~5 min of compiles
@@ -167,7 +202,13 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:
         pass
+    # backend init is the hang point when the tunnel is down; normal init
+    # is ~1-2 min
+    disarm_init = _watchdog(
+        int(os.environ.get("FOOTPRINTS_BENCH_INIT_DEADLINE", "900")),
+        "jax.devices() backend init")
     device = jax.devices()[0]
+    disarm_init()
     imgs_sec_bf16, _ = bench_jax("default", BATCH)
     imgs_sec_f32, _ = bench_jax("highest", BATCH)
     _, lat1_bf16 = bench_jax("default", 1)

@@ -37,8 +37,9 @@ import jax.numpy as jnp
 from ..nn.layers import get_default_precision
 
 # Gate for the hand-written fused conv backward (see _dxp_presliced).
-# Read at TRACE time — set the env var before building a train step, and
-# use distinct function objects when re-jitting after flipping it.
+# Read ONCE at module import — to flip it afterwards assign
+# `s2d.FUSED_DGRAD = False` directly (as tools/diag_dxrows.py does) before
+# building the train step; setting the env var post-import has no effect.
 FUSED_DGRAD = os.environ.get("FOOTPRINTS_FUSED_DGRAD", "1") == "1"
 
 

@@ -66,18 +66,12 @@ def test_edge_pad1_bwd_matches_jnp_pad_autodiff(shape):
                                atol=1e-6)
 
 
-def _plain_s2d_reflect_pad(x, c):
-    """The s2d pad construction re-expressed with no custom_vjp: jnp traces
-    and differentiates this copy itself, independent of _s2d_reflect_pad_bwd."""
-    ch = jnp.arange(x.shape[-1])
-    row_a0 = (ch < 2 * c)[None, None, None, :]
-    top = jnp.where(row_a0, x[:, 1:2], x[:, 0:1])
-    bottom = jnp.where(row_a0, x[:, -1:], x[:, -2:-1])
-    x = jnp.concatenate([top, x, bottom], axis=1)
-    col_b0 = ((ch // c) % 2 == 0)[None, None, None, :]
-    left = jnp.where(col_b0, x[:, :, 1:2], x[:, :, 0:1])
-    right = jnp.where(col_b0, x[:, :, -1:], x[:, :, -2:-1])
-    return jnp.concatenate([left, x, right], axis=2)
+# single-source oracle twin (shared with tools/diag_dxrows.py): the s2d pad
+# construction with no custom_vjp — jnp traces and differentiates that copy
+# itself, independent of _s2d_reflect_pad_bwd
+from footprints_tpu.ops.pad_oracles import (  # noqa: E402
+    raw_s2d_reflect_pad as _plain_s2d_reflect_pad,
+)
 
 
 @pytest.mark.parametrize("n,h,w,c", [(1, 2, 2, 3), (2, 3, 5, 2), (1, 6, 4, 8)])
@@ -122,8 +116,9 @@ def test_s2d_reflect_pad_adjoint_identity():
 # jnp.pad (bypassing every custom VJP in the repo).
 # ---------------------------------------------------------------------------
 
-def _raw_reflect_pad(x):
-    return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+from footprints_tpu.ops.pad_oracles import (  # noqa: E402
+    raw_reflect_pad1 as _raw_reflect_pad,
+)
 
 
 @pytest.mark.parametrize("h,w_,ci,co", [(2, 2, 3, 2), (4, 6, 5, 7), (6, 10, 8, 4)])

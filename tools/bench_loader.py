@@ -115,19 +115,29 @@ def main():
     ds_train = KITTIDataset(raw, td, lines, is_train=True, seed=10, **common)
     ds_eval = KITTIDataset(raw, td, lines, is_train=False, seed=10, **common)
 
-    print("single-thread __getitem__:")
-    bench_dataset(ds_eval, min(args.n, 48), "eval_samples_per_s", results)
-    bench_dataset(ds_train, min(args.n, 48), "train_samples_per_s", results)
+    # Pin the resize mode per leg regardless of the caller's environment:
+    # baseline legs measure PIL, the native leg measures the native
+    # resampler, and the caller's value is restored afterwards.
+    orig_native = os.environ.get("FOOTPRINTS_NATIVE_RESIZE")
+    os.environ["FOOTPRINTS_NATIVE_RESIZE"] = "0"
+    try:
+        print("single-thread __getitem__:")
+        bench_dataset(ds_eval, min(args.n, 48), "eval_samples_per_s", results)
+        bench_dataset(ds_train, min(args.n, 48), "train_samples_per_s",
+                      results)
 
-    if os.environ.get("FOOTPRINTS_NATIVE_RESIZE") != "1":
         os.environ["FOOTPRINTS_NATIVE_RESIZE"] = "1"
         try:
             bench_dataset(ds_train, min(args.n, 48),
                           "train_samples_per_s_native_resize", results)
         except Exception as e:  # native lib may not build everywhere
             print(f"  native resize path unavailable: {e}")
-        finally:
+        os.environ["FOOTPRINTS_NATIVE_RESIZE"] = "0"
+    finally:
+        if orig_native is None:
             del os.environ["FOOTPRINTS_NATIVE_RESIZE"]
+        else:
+            os.environ["FOOTPRINTS_NATIVE_RESIZE"] = orig_native
 
     print(f"DataLoader batch {args.batch}:")
     for workers in (1, 4, 8):

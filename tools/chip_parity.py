@@ -352,7 +352,7 @@ def _grad_parity(label, loss_fn, params, x, cpu, compute_dtype, precision):
     tol = TOL_F32 * 10 if full_f32 else TOL_BF16
     # grads accumulate over the whole graph: wider relative scale per probe
     ok = True
-    worst = (0.0, "")
+    worst = (0.0, "", 0.0)
     dx_scale = float(np.asarray(p_cpu.get("dx.absmax", 0.0)))
     for k in p_dev:
         a = np.asarray(p_dev[k], np.float32)
@@ -373,7 +373,7 @@ def _grad_parity(label, loss_fn, params, x, cpu, compute_dtype, precision):
         diff = np.abs(a - b)
         err = float(np.max(diff)) / scale
         if err / k_tol > worst[0]:
-            worst = (err / k_tol, f"{k} (rel {err:.2e})")
+            worst = (err / k_tol, k, err)
         if err > k_tol:
             detail = ""
             if k in ("dp.mean", "dp.max"):
@@ -381,8 +381,10 @@ def _grad_parity(label, loss_fn, params, x, cpu, compute_dtype, precision):
                 detail = f" (worst leaf: {leaf_names[i]})"
             print(f"  FAIL {label}/{k}: rel_err={err:.6f} (tol {k_tol}){detail}")
             ok = False
+    # rel_err and the tolerance ratio are different units — print both so
+    # PARITY.md's calibration ledger records true divergences
     print(f"  {'ok  ' if ok else 'FAIL'} {label} "
-          f"(worst rel {worst[0]:.2e} at {worst[1]})")
+          f"(worst {worst[1]}: rel_err {worst[2]:.2e} = {worst[0]:.2f}x tol)")
     return ok
 
 

@@ -26,24 +26,13 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
-def raw_reflect_pad1(x):
-    return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
-
-
-def raw_edge_pad1(x):
-    return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-
-
-def raw_s2d_reflect_pad(x, c):
-    ch = jnp.arange(x.shape[-1])
-    row_a0 = (ch < 2 * c)[None, None, None, :]
-    top = jnp.where(row_a0, x[:, 1:2], x[:, 0:1])
-    bottom = jnp.where(row_a0, x[:, -1:], x[:, -2:-1])
-    x = jnp.concatenate([top, x, bottom], axis=1)
-    col_b0 = ((ch // c) % 2 == 0)[None, None, None, :]
-    left = jnp.where(col_b0, x[:, :, 1:2], x[:, :, 0:1])
-    right = jnp.where(col_b0, x[:, :, -1:], x[:, :, -2:-1])
-    return jnp.concatenate([left, x, right], axis=2)
+# single-source oracle twins (shared with tests/test_pad_vjps.py so the
+# diagnostic can never bisect against a stale copy)
+from footprints_tpu.ops.pad_oracles import (  # noqa: E402
+    raw_edge_pad1,
+    raw_reflect_pad1,
+    raw_s2d_reflect_pad,
+)
 
 
 def run_config(fused, rawpads, h, w, dtype, cpu):
