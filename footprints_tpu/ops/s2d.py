@@ -34,7 +34,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..nn.layers import get_default_precision
+from ..nn.layers import conv2d, get_default_precision
 
 # Gate for the hand-written fused conv backward (see _dxp_presliced).
 # Read ONCE at module import — to flip it afterwards assign
@@ -44,15 +44,10 @@ FUSED_DGRAD = os.environ.get("FOOTPRINTS_FUSED_DGRAD", "1") == "1"
 
 
 def _conv(x, w, b=None, *, precision=None, padding=((0, 0), (0, 0))):
-    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
-    pet = jnp.float32 if x.dtype == jnp.float32 else None
-    y = jax.lax.conv_general_dilated(
-        x, w, (1, 1), padding, dimension_numbers=dn,
-        preferred_element_type=pet,
-        precision=precision or get_default_precision())
-    if b is not None:
-        y = y + b
-    return y.astype(x.dtype)
+    """Stride-1 alias of nn.layers.conv2d so the subtle
+    preferred_element_type rule (layers.py: f32 output only for f32 inputs,
+    or the conv transpose rule breaks under autodiff) lives in ONE place."""
+    return conv2d(x, w, b, padding=padding, precision=precision)
 
 
 def space_to_depth(x):

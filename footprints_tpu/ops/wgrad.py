@@ -31,15 +31,25 @@ from ..nn.layers import conv2d, get_default_precision
 def conv3x3_valid_small_co(xp, w, b, precision=None):
     """VALID 3x3 conv over a pre-padded input.  xp: [N,H+2,W+2,C],
     w: [3,3,C,co], b: [co] -> [N,H,W,co]."""
+    _check_3x3(w)
     return conv2d(xp, w, b, precision=precision)
 
 
+def _check_3x3(w):
+    # the hand-written _bwd hard-codes three taps and a pad-2 transpose:
+    # any other kernel would get a correct forward and silently wrong grads
+    if w.shape[:2] != (3, 3):
+        raise ValueError(
+            f"conv3x3_valid_small_co requires a 3x3 kernel, got {w.shape}")
+
+
 def _fwd(xp, w, b, precision):
-    return conv2d(xp, w, b, precision=precision), (xp, w)
+    _check_3x3(w)
+    return conv2d(xp, w, b, precision=precision), (xp, w, b)
 
 
 def _bwd(precision, res, cot):
-    xp, w = res
+    xp, w, b = res
     precision = precision or get_default_precision()
     n, hp, wp, ci = xp.shape
     h, w_ = hp - 2, wp - 2
@@ -54,7 +64,10 @@ def _bwd(precision, res, cot):
                                   preferred_element_type=jnp.float32))
         taps.append(jnp.stack(row))
     dw = jnp.stack(taps).astype(w.dtype)  # [3,3,ci,co]
-    db = jnp.sum(cot, axis=(0, 1, 2), dtype=jnp.float32).astype(cot.dtype)
+    # db must carry b's dtype (not cot's): a partially-cast tree (bf16
+    # weights, f32 biases) would otherwise crash custom_vjp's aval check
+    db = (None if b is None else
+          jnp.sum(cot, axis=(0, 1, 2), dtype=jnp.float32).astype(b.dtype))
     # dX: transposed conv — flip taps, swap in/out channels, full zero pad
     wt = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)  # [3,3,co,ci]
     cot_p = jnp.pad(cot, ((0, 0), (2, 2), (2, 2), (0, 0)))

@@ -21,6 +21,9 @@ from ..parallel import mesh as meshlib
 from .losses import LossConfig, compute_losses
 
 
+_COMPUTE_DTYPES = (None, "float32", "f32", "bfloat16", "bf16")
+
+
 @dataclasses.dataclass(frozen=True)
 class TrainStepConfig:
     learning_rate: float = 1e-4
@@ -33,10 +36,20 @@ class TrainStepConfig:
     # throughput on TPU).  None/'float32' = full f32 (reference parity).
     compute_dtype: str | None = None
 
+    def __post_init__(self):
+        # loud failure instead of silently training full-f32 at 1/3 speed
+        # on a typo ('bfloat', 'float16', ...) from a programmatic caller
+        if self.compute_dtype not in _COMPUTE_DTYPES:
+            raise ValueError(
+                f"compute_dtype={self.compute_dtype!r} not supported; "
+                f"one of {_COMPUTE_DTYPES}")
+
 
 def make_lr_schedule(config: TrainStepConfig):
     """StepLR as a step-indexed schedule: lr * gamma^(epoch // step_epochs)."""
-    boundary = config.scheduler_step_epochs * config.steps_per_epoch
+    # clamp: steps_per_epoch=0 (empty dataloader) would make `step // 0`
+    # silently yield garbage lr under XLA instead of raising
+    boundary = max(config.scheduler_step_epochs * config.steps_per_epoch, 1)
 
     def schedule(step):
         return config.learning_rate * config.scheduler_gamma ** (step // boundary)
@@ -123,9 +136,19 @@ def build_train_step(net, config: TrainStepConfig, mesh=None):
 
 
 def build_eval_step(net, config: TrainStepConfig, mesh=None):
-    """Compiled no-grad eval step: (params, state, batch) -> losses dict."""
+    """Compiled no-grad eval step: (params, state, batch) -> losses dict.
+
+    Honors config.compute_dtype so validation runs the same-precision graph
+    as training (comparable train/val curves, bf16 eval throughput); the
+    loss itself stays f32 either way (compute_losses upcasts)."""
+    mixed = config.compute_dtype in ("bfloat16", "bf16")
 
     def eval_fn(params, state, batch):
+        if mixed:
+            params = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16) if a is not None else None,
+                params)
+            batch = dict(batch, image=batch["image"].astype(jnp.bfloat16))
         outputs, _ = net.apply(params, state, batch["image"], train=False)
         return compute_losses(outputs, batch, config.loss)
 

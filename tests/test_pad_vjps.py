@@ -122,47 +122,53 @@ from footprints_tpu.ops.pad_oracles import (  # noqa: E402
 
 
 @pytest.mark.parametrize("h,w_,ci,co", [(2, 2, 3, 2), (4, 6, 5, 7), (6, 10, 8, 4)])
-def test_up_conv_to_s2d_dx_matches_raw_pad_autodiff(h, w_, ci, co):
+def test_up_conv_to_s2d_grads_match_raw_pad_autodiff(h, w_, ci, co):
     x = _rand((2, h, w_, ci))
     w = jnp.asarray((RNG.randn(3, 3, ci, co) * 0.1).astype(np.float32))
     b = jnp.asarray(RNG.randn(co).astype(np.float32))
 
-    def naive(x):
+    def naive(x, w, b):
         y = conv2d(_raw_reflect_pad(upsample_nearest(x, 2)), w, b,
                    precision="highest")
         return jnp.sum(jnp.sin(y))
 
-    def fast(x):
+    def fast(x, w, b):
         y = depth_to_space(up_conv_to_s2d(x, w, b, precision="highest"))
         return jnp.sum(jnp.sin(y))
 
-    np.testing.assert_allclose(np.asarray(jax.grad(fast)(x)),
-                               np.asarray(jax.grad(naive)(x)),
-                               rtol=1e-4, atol=1e-5)
+    g_fast = jax.grad(fast, argnums=(0, 1, 2))(x, w, b)
+    g_ref = jax.grad(naive, argnums=(0, 1, 2))(x, w, b)
+    for a, r in zip(g_fast, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)
 
 
 @pytest.mark.parametrize("h,w_,ci,co", [(4, 4, 3, 3), (8, 12, 4, 6)])
-def test_s2d_conv_dx_matches_raw_pad_autodiff(h, w_, ci, co):
+def test_s2d_conv_grads_match_raw_pad_autodiff(h, w_, ci, co):
     X = _rand((2, h, w_, ci))
     w = jnp.asarray((RNG.randn(3, 3, ci, co) * 0.1).astype(np.float32))
     b = jnp.asarray(RNG.randn(co).astype(np.float32))
 
-    def naive(X):
+    def naive(X, w, b):
         return jnp.sum(jnp.sin(conv2d(_raw_reflect_pad(X), w, b,
                                       precision="highest")))
 
-    def fast(X):
+    def fast(X, w, b):
         y = depth_to_space(s2d_conv3x3_reflect(space_to_depth(X), w, b,
                                                precision="highest"))
         return jnp.sum(jnp.sin(y))
 
-    np.testing.assert_allclose(np.asarray(jax.grad(fast)(X)),
-                               np.asarray(jax.grad(naive)(X)),
-                               rtol=1e-4, atol=1e-5)
+    # all of dX, dW, db: the fused backward routes dW/db through its own
+    # jax.vjp lambda, which no other test guards (values-only elsewhere)
+    g_fast = jax.grad(fast, argnums=(0, 1, 2))(X, w, b)
+    g_ref = jax.grad(naive, argnums=(0, 1, 2))(X, w, b)
+    for a, r in zip(g_fast, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)
 
 
-def test_wgrad_conv_dx_matches_raw_pad_autodiff():
-    """ops/wgrad.py dx checked with the pad oracle outside every custom VJP."""
+def test_wgrad_conv_grads_match_raw_pad_autodiff():
+    """ops/wgrad.py dX/dW/db checked with the pad oracle outside every custom VJP."""
     from footprints_tpu.ops.wgrad import conv3x3_valid_small_co
 
     x = _rand((2, 6, 8, 16))
@@ -182,3 +188,34 @@ def test_wgrad_conv_dx_matches_raw_pad_autodiff():
     for a, r in zip(g_fast, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    rtol=1e-4, atol=2e-5)
+
+
+def test_wgrad_conv_mixed_dtype_bias_grads():
+    """db must carry the bias's own dtype: bf16 weights + f32 bias (a
+    partially-cast tree) previously hit custom_vjp's aval dtype check."""
+    from footprints_tpu.ops.wgrad import conv3x3_valid_small_co
+
+    x = _rand((1, 5, 6, 4)).astype(jnp.bfloat16)
+    w = (_rand((3, 3, 4, 2)) * 0.1).astype(jnp.bfloat16)
+    b = _rand((2,))  # f32
+
+    def f(x, w, b):
+        return jnp.sum(conv3x3_valid_small_co(x, w, b, None)
+                       .astype(jnp.float32))
+
+    dx, dw, db = jax.grad(f, argnums=(0, 1, 2))(x, w, b)
+    assert dx.dtype == jnp.bfloat16 and dw.dtype == jnp.bfloat16
+    assert db.dtype == jnp.float32
+    assert np.isfinite(np.asarray(db)).all()
+
+
+def test_wgrad_conv_rejects_non_3x3():
+    from footprints_tpu.ops.wgrad import conv3x3_valid_small_co
+
+    x = _rand((1, 6, 6, 4))
+    w5 = _rand((5, 5, 4, 2))
+    b = _rand((2,))
+    with pytest.raises(ValueError, match="3x3"):
+        conv3x3_valid_small_co(x, w5, b, None)
+    with pytest.raises(ValueError, match="3x3"):
+        jax.grad(lambda x: jnp.sum(conv3x3_valid_small_co(x, w5, b, None)))(x)

@@ -133,3 +133,34 @@ def test_eval_step_runs():
     batch = {k: jnp.asarray(v) for k, v in _make_batch(2, 16, 16).items()}
     losses = ev(ts["params"], ts["state"], batch)
     assert np.isfinite(float(losses["loss"]))
+
+
+def test_eval_step_honors_compute_dtype():
+    """Validation runs the same-precision graph as training: bf16 config
+    evals close to f32 but not bit-identical, and the loss stays f32."""
+    net = TinyNet()
+    batch = {k: jnp.asarray(v) for k, v in _make_batch(2, 16, 16).items()}
+    ts = init_train_state(net, jax.random.PRNGKey(0), TrainStepConfig())
+
+    l32 = build_eval_step(net, TrainStepConfig())(
+        ts["params"], ts["state"], batch)
+    l16 = build_eval_step(net, TrainStepConfig(compute_dtype="bfloat16"))(
+        ts["params"], ts["state"], batch)
+    assert l16["loss"].dtype == jnp.float32
+    assert abs(float(l32["loss"]) - float(l16["loss"])) < 0.05
+    assert float(l32["loss"]) != float(l16["loss"])  # bf16 graph actually ran
+
+
+def test_compute_dtype_typo_rejected():
+    with pytest.raises(ValueError, match="compute_dtype"):
+        TrainStepConfig(compute_dtype="float16")
+    with pytest.raises(ValueError, match="compute_dtype"):
+        TrainStepConfig(compute_dtype="bfloat")  # classic typo
+
+
+def test_lr_schedule_zero_steps_per_epoch_clamped():
+    from footprints_tpu.train.step import make_lr_schedule
+
+    sched = make_lr_schedule(TrainStepConfig(learning_rate=1e-4,
+                                             steps_per_epoch=0))
+    assert float(sched(0)) > 0  # no step//0 garbage
