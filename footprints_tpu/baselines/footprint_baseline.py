@@ -162,6 +162,10 @@ def main(argv=None):
     parser.add_argument("--test_split", type=str, default=None,
                         help="matterport test split txt (default "
                              "splits/matterport/test.txt)")
+    parser.add_argument("--dataset_root", type=str, default=None,
+                        help="raw matterport tree (camera intrinsics for "
+                             "the ransac baselines); default: "
+                             "matterport.dataset from paths.yaml")
     opts = parser.parse_args(argv)
 
     if opts.dataset == "matterport":
@@ -173,11 +177,16 @@ def main(argv=None):
         test_filenames = test_filenames[:20]
     print(f"Testing on {len(test_filenames)} images")
 
-    runs = [VisibleGround(opts.dataset), ConvexHull(opts.dataset)]
     if opts.dataset == "matterport":
-        runs += [RansacPlaneOracle(opts.dataset), RansacPlane(opts.dataset)]
+        # each predictor mutates its loader's flags -> one loader each
+        mk = lambda: MatterportTestLoader(dataset_root=opts.dataset_root)
+        runs = [VisibleGround(opts.dataset, loader=mk()),
+                ConvexHull(opts.dataset, loader=mk()),
+                RansacPlaneOracle(opts.dataset, loader=mk()),
+                RansacPlane(opts.dataset, loader=mk())]
     else:
-        runs += [BoundingBox(opts.dataset, "3d_boundingbox")]
+        runs = [VisibleGround(opts.dataset), ConvexHull(opts.dataset),
+                BoundingBox(opts.dataset, "3d_boundingbox")]
     for predictor in runs:
         predictor.filenames = test_filenames
         predictor.run_all()

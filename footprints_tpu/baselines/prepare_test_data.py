@@ -3,8 +3,9 @@
 
 The reference hardcoded NAS paths and read 'predictions' yaml keys missing
 from its shipped paths.yaml; here all roots are constructor arguments with
-paths.yaml-compatible defaults, and ground-truth downloads happen lazily
-(the reference downloaded at import time).
+paths.yaml-compatible defaults, and ground-truth downloads happen lazily on
+first ground-truth access (the reference downloaded at import time; the
+prediction-only baselines never touch the GT archives at all).
 """
 
 import os
@@ -23,26 +24,37 @@ def cv2_imread_strict(im_path, *args):
 
 
 class TestLoader:
+    #: dataset key for the lazy ground-truth download ('kitti'/'matterport')
+    GT_KEY = None
+
     def __init__(self, load_bounding_box_predictions=False,
-                 load_visible_ground="pred", baseline_type=""):
+                 load_visible_ground="pred", baseline_type="",
+                 gt_dir=None, download=True):
         self.load_bounding_box_predictions = load_bounding_box_predictions
         self.load_visible_ground = load_visible_ground
         self.baseline_type = baseline_type
+        self._gt_dir = gt_dir
+        self._download = download
+
+    @property
+    def gt_dir(self):
+        """Resolved (and downloaded, if allowed) on first access only, so
+        baselines that never read GT work fully offline."""
+        if self._gt_dir is None:
+            if self._download:
+                download_ground_truths_if_dont_exist(self.GT_KEY)
+            sub = f"{self.GT_KEY}_ground_truth"
+            self._gt_dir = os.path.join(GROUND_TRUTH_DIR, sub, sub)
+        return self._gt_dir
 
 
 class KittiTestLoader(TestLoader):
     W, H = 640, 192
+    GT_KEY = "kitti"
 
-    def __init__(self, predictions_root="predictions/kitti", gt_dir=None,
-                 download=True, **kwargs):
+    def __init__(self, predictions_root="predictions/kitti", **kwargs):
         super().__init__(**kwargs)
         self.predictions_root = predictions_root
-        if gt_dir is None:
-            if download:
-                download_ground_truths_if_dont_exist("kitti")
-            gt_dir = os.path.join(GROUND_TRUTH_DIR, "kitti_ground_truth",
-                                  "kitti_ground_truth")
-        self.gt_dir = gt_dir
 
     def __call__(self, frame_num):
         inputs = {}
@@ -74,32 +86,47 @@ class KittiTestLoader(TestLoader):
 
 class MatterportTestLoader(TestLoader):
     H, W = 512, 640
-    FULL_W, FULL_H = 640, 512
+    GT_KEY = "matterport"
 
     def __init__(self, predictions_root="predictions/matterport",
-                 dataset_root=None, gt_dir=None, download=True, **kwargs):
+                 dataset_root=None, **kwargs):
         super().__init__(**kwargs)
         self.predictions_root = predictions_root
         self.dataset_root = dataset_root
-        if gt_dir is None:
-            if download:
-                download_ground_truths_if_dont_exist("matterport")
-            gt_dir = os.path.join(GROUND_TRUTH_DIR, "matterport_ground_truth",
-                                  "matterport_ground_truth")
-        self.gt_dir = gt_dir
 
     def _pred_path(self, frame_data):
         return os.path.join(self.predictions_root,
                             "{}_{}_{}_{}.npy".format(*frame_data))
 
+    def _resolve_dataset_root(self):
+        """The ransac baselines need the raw-dataset intrinsics; resolve
+        from paths.yaml when not given, with a clear error otherwise."""
+        if self.dataset_root is None:
+            try:
+                from ..core.config import load_config
+
+                self.dataset_root = load_config("paths.yaml")["matterport"][
+                    "dataset"]
+            except Exception:
+                pass
+        if self.dataset_root is None:
+            raise ValueError(
+                "MatterportTestLoader needs dataset_root (the raw matterport "
+                "tree, for camera intrinsics) — pass --dataset_root or set "
+                "matterport.dataset in paths.yaml")
+        return self.dataset_root
+
     def load_intrinsics(self, frame_data, depth):
         path = os.path.join(
-            self.dataset_root,
+            self._resolve_dataset_root(),
             "{}/{}/matterport_camera_intrinsics/{}_intrinsics_{}.txt".format(
                 frame_data[0], frame_data[0], frame_data[1], frame_data[2]))
         vals = np.loadtxt(path)
         K = np.eye(3)
         K[0, 0], K[1, 1], K[0, 2], K[1, 2] = vals[2], vals[3], vals[4], vals[5]
+        # parity note: depth is already resized to (W,H) above, so these
+        # scale factors are exactly 1.0 — the reference's rescale was the
+        # same no-op; kept for shape-generality if a caller passes raw depth
         K[0, :] *= depth.shape[1] / self.W
         K[1, :] *= depth.shape[0] / self.H
         return K, np.linalg.pinv(K)
@@ -107,6 +134,7 @@ class MatterportTestLoader(TestLoader):
     def __call__(self, test_file_line):
         frame_data = test_file_line.strip().split()
         inputs = {}
+        pred = None
         if "ransac_plane" in self.baseline_type:
             pred = np.load(self._pred_path(frame_data))
             depth = cv2.resize(
@@ -116,7 +144,8 @@ class MatterportTestLoader(TestLoader):
             inputs.update({"depth": depth, "inv_K": inv_K, "K": K})
 
         if self.load_visible_ground == "pred":
-            pred = np.load(self._pred_path(frame_data))
+            if pred is None:  # avoid re-reading the multi-MB npy per frame
+                pred = np.load(self._pred_path(frame_data))
             inputs["visible_ground"] = cv2.resize(
                 pred[0].astype(np.float32), (self.W, self.H))
         elif self.load_visible_ground == "ground_truth":

@@ -17,6 +17,8 @@ import cv2
 import numpy as np
 from PIL import Image
 
+from ...core.ops import np_pixel_disp_to_depth
+
 
 class BaseLoader:
     def __init__(self, raw_data_path, training_data_path, height, width,
@@ -62,8 +64,13 @@ class KITTILoader(BaseLoader):
                     ground_segs.append(data["ground_seg"])
                     poses.append(data["pose"])
                     sides.append(side)
-        depths = self.K[0, 0] * self.stereo_baseline / np.maximum(
-            np.stack(disparities), 1e-7)
+        # invalid (<=0) disparities -> depth 0 == invalid everywhere
+        # downstream (the 1e-7 clamp used before made them ~2e9 m "valid"
+        # points that could splat in-bounds near the epipole; the reference's
+        # unguarded division produced inf/negative depths that its bounds
+        # checks excluded — np_pixel_disp_to_depth matches that semantics)
+        depths = np_pixel_disp_to_depth(
+            np.stack(disparities), self.K[0, 0], self.stereo_baseline)
         n = len(sides)
         return {
             "depths": depths.astype(np.float32),

@@ -26,6 +26,7 @@ import jax
 import numpy as np
 
 from ...core.config import load_config, readlines
+from ...core.ops import np_pixel_disp_to_depth
 from .data_loader import KITTILoader, MatterportLoader
 from .geometry import aggregate_hidden_depth
 from .processing import compute_depth_mask, compute_moving_object_mask
@@ -170,9 +171,11 @@ class KITTIMovingObjectDetector(KITTIGroundTruthGenerator):
     def process_data(self, data):
         base, lookup = data["base_data"], data["lookup_data"]
         T = (np.linalg.pinv(lookup["pose"]) @ base["pose"]).astype(np.float32)
-        disp = np.maximum(base["disparity"], 1e-7)
-        depth = (self.loader.K[0, 0] * self.loader.stereo_baseline / disp
-                 ).astype(np.float32)
+        # invalid disparity -> depth 0 -> never flagged moving (reference:
+        # nan induced flow fails the >3px comparison)
+        depth = np_pixel_disp_to_depth(
+            base["disparity"], self.loader.K[0, 0],
+            self.loader.stereo_baseline).astype(np.float32)
         mask = compute_moving_object_mask(
             depth, T, self.loader.K, self.loader.invK,
             base["flow"].astype(np.float32),
@@ -196,9 +199,9 @@ class KITTIDepthMaskingGenerator(KITTIGroundTruthGenerator):
         ground_seg = data["ground_seg"]
         if (ground_seg > self.footprint_threshold).sum() < 100:
             return np.zeros((self.height, self.width))
-        disp = np.maximum(data["disparity"], 1e-7)
-        depth = (self.loader.K[0, 0] * self.loader.stereo_baseline / disp
-                 ).astype(np.float32)
+        depth = np_pixel_disp_to_depth(
+            data["disparity"], self.loader.K[0, 0],
+            self.loader.stereo_baseline).astype(np.float32)
         mask = compute_depth_mask(
             self.next_key(), depth, ground_seg.astype(np.float32),
             self.loader.K, self.loader.invK, height=self.height,

@@ -104,9 +104,15 @@ def _splat_one(cam_pix, height, width):
     ks, zs = jax.lax.sort((flat_idx, z), num_keys=2)
     first = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
     tgt = jnp.where(first & (ks < n_pix), ks, n_pix)
-    out = jnp.zeros((n_pix + 1,), z.dtype)
+    # out is sized n_pix so the n_pix sentinel (every non-first duplicate
+    # and every invalid point) is genuinely out of bounds: mode="drop"
+    # discards those writes and the REMAINING indices really are unique —
+    # an (n_pix+1)-slot buffer would instead scatter many in-bounds
+    # duplicates into the spare slot while promising unique_indices
+    # (undefined behavior per the scatter contract)
+    out = jnp.zeros((n_pix,), z.dtype)
     out = out.at[tgt].set(zs, mode="drop", unique_indices=True)
-    return out[:n_pix].reshape(height, width)
+    return out.reshape(height, width)
 
 
 def extract_depth_from_projections(cam_pix, height, width):

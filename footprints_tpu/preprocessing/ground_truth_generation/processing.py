@@ -45,7 +45,8 @@ def compute_depth_mask(key, depth, ground_seg, K, invK, *, height, width,
     world = world4[:3].T  # [P,3]
     valid_depth = world4[3] > 0
 
-    coeffs, _, _ = fit_plane_masked(key, world, ground_pix & valid_depth)
+    fit_mask = ground_pix & valid_depth
+    coeffs, _, _ = fit_plane_masked(key, world, fit_mask)
     normal = coeffs[:3] / (jnp.linalg.norm(coeffs[:3]) + 1e-12)
     dists = plane_distance(coeffs, world)
     flattened = world - normal[None, :] * dists[:, None]
@@ -68,13 +69,20 @@ def compute_depth_mask(key, depth, ground_seg, K, invK, *, height, width,
     cam = project_to_camera(world_pts, eye, K[None])
     projection = extract_depth_from_projections(cam, height, width)[0]
 
-    return (
+    mask = (
         (projection > 0)
         & (ground_seg < 0.5)
         & (jnp.abs(projection - depth) / (depth + 1e-7) < DEPTH_AGREEMENT)
         & (projection < MAX_MASK_DEPTH)
         & (depth > 0)
     )
+    # under-determined plane (all ground pixels in depth holes): a garbage
+    # fit flattens points onto themselves, projection==depth passes the
+    # agreement test, and nearly every non-ground pixel would be flagged
+    # untraversable — return the safe all-False mask instead (the reference
+    # crashed loudly on this input; an empty mask matches its "skip frame"
+    # convention for <100 ground px)
+    return mask & (jnp.sum(fit_mask) >= 3)
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width"))
@@ -85,4 +93,7 @@ def compute_moving_object_mask(depth, T, K, invK, flow, *, height, width):
     grid = pixel_grid(height, width)
     induced = cam[0, :2] - grid[:2]  # [2, P]
     diff = induced.reshape(2, height, width) - flow
-    return jnp.sqrt(diff[0] ** 2 + diff[1] ** 2) > FLOW_THRESHOLD
+    moving = jnp.sqrt(diff[0] ** 2 + diff[1] ** 2) > FLOW_THRESHOLD
+    # invalid depth (0) projects to garbage induced flow; the reference's
+    # inf depth made the flow nan, which failed the >3px test -> not moving
+    return moving & (depth > 0)

@@ -109,3 +109,44 @@ def test_ransac_plane_too_few_ground_pixels_passthrough():
     out, out_d = rp.frame_predict(
         {"visible_ground": np.zeros((H, W)), "depth": depth, "inv_K": np.eye(3)})
     np.testing.assert_array_equal(out, depth)
+
+
+def test_matterport_loader_dataset_root_error_is_clear(tmp_path):
+    """ransac baselines need intrinsics: unresolvable dataset_root must give
+    a clear error, not TypeError on os.path.join(None, ...)."""
+    import os
+
+    import pytest
+
+    from footprints_tpu.baselines.prepare_test_data import MatterportTestLoader
+
+    loader = MatterportTestLoader(download=False)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)  # no paths.yaml here
+    try:
+        with pytest.raises(ValueError, match="dataset_root"):
+            loader._resolve_dataset_root()
+    finally:
+        os.chdir(cwd)
+
+
+def test_loaders_do_not_download_gt_unless_accessed(monkeypatch):
+    """Prediction-only baselines never touch GT: constructing a loader must
+    not attempt the (egress-blocked) ground-truth download."""
+    from footprints_tpu.baselines import prepare_test_data as ptd
+
+    def boom(*a, **k):
+        raise AssertionError("GT download triggered eagerly")
+
+    monkeypatch.setattr(ptd, "download_ground_truths_if_dont_exist", boom)
+    kl = ptd.KittiTestLoader()  # must not raise
+    ml = ptd.MatterportTestLoader()
+    # first gt_dir access triggers the (stubbed) download
+    import pytest
+
+    with pytest.raises(AssertionError):
+        _ = kl.gt_dir
+    with pytest.raises(AssertionError):
+        _ = ml.gt_dir
+    # explicit gt_dir bypasses downloads entirely
+    assert ptd.KittiTestLoader(gt_dir="/x").gt_dir == "/x"

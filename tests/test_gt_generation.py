@@ -226,3 +226,32 @@ def test_compute_depth_mask_wall_scene():
     assert (mask * (ground_seg > 0.5)).sum() == 0
     # some wall pixels at the wall/ground junction are flagged
     assert mask.sum() > 0
+
+
+def test_moving_object_mask_invalid_depth_never_moving():
+    """Pixels with invalid (0) depth must not be flagged moving (reference:
+    inf depth -> nan induced flow -> fails the >3px test)."""
+    K, invK = _camera()
+    depth = np.full((H, W), 8.0, np.float32)
+    depth[5:9, 5:9] = 0.0  # stereo-matching dropout
+    flow = np.zeros((2, H, W), np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[0, 3] = 0.5  # moving camera: invalid pixels get garbage induced flow
+    mask = np.asarray(compute_moving_object_mask(
+        jnp.asarray(depth), jnp.asarray(T), jnp.asarray(K), jnp.asarray(invK),
+        jnp.asarray(flow), height=H, width=W))
+    assert mask[5:9, 5:9].sum() == 0
+
+
+def test_compute_depth_mask_degenerate_plane_fit_empty():
+    """All ground pixels in depth holes -> under-determined plane fit must
+    yield the safe all-False mask, not flag every non-ground pixel."""
+    K, invK = _camera()
+    depth = np.full((H, W), 8.0, np.float32)
+    ground_seg = np.zeros((H, W), np.float32)
+    ground_seg[H // 2:, :] = 1.0
+    depth[H // 2:, :] = 0.0  # every ground pixel invalid
+    mask = np.asarray(compute_depth_mask(
+        jax.random.PRNGKey(0), jnp.asarray(depth), jnp.asarray(ground_seg),
+        jnp.asarray(K), jnp.asarray(invK), height=H, width=W))
+    assert mask.sum() == 0
