@@ -111,7 +111,7 @@ def matterport_tree(tmp_path):
         depth_path = raw / scan / scan / "matterport_depth_images" / f"{pos}_d{h}_{d}.png"
         os.makedirs(os.path.dirname(str(depth_path)), exist_ok=True)
         depth16 = (rng.rand(256, 320) * 20000).astype(np.uint16)
-        Image.fromarray(depth16, mode="I;16").save(str(depth_path))
+        Image.fromarray(depth16).save(str(depth_path))  # uint16 -> I;16
         _save_npy(str(td / "ground_seg" / scan / "data" / f"{pos}_{h}_{d}.npy"),
                   rng.rand(256, 320).astype(np.float32))
         hidden = (rng.rand(256, 320) * 12).astype(np.float32)
