@@ -48,8 +48,15 @@ CHANNEL_CONTRACT = [
 ]
 
 
+def _cast_tree(tree, cast):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(lambda a: jnp.asarray(a, cast), tree)
+
+
 def build_serving_forward(net, params, state, dtype="bfloat16"):
-    """The serving forward as a pure function of the image batch.
+    """The FootprintNetwork serving forward as a pure function of the batch.
 
     dtype 'bfloat16' casts weights and activations (the measured serving
     config: ~5x f32 throughput, PERF.md); 'float32' keeps checkpoint-parity
@@ -57,14 +64,12 @@ def build_serving_forward(net, params, state, dtype="bfloat16"):
     NHWC C=4 buffer would transfer the lane-padded layout — see
     predict_simple.py).
     """
-    import jax
     import jax.numpy as jnp
 
     if dtype not in ("bfloat16", "float32"):
         raise ValueError(f"dtype must be bfloat16 or float32, got {dtype!r}")
     cast = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-    params = jax.tree.map(lambda a: jnp.asarray(a, cast), params)
-    state = jax.tree.map(lambda a: jnp.asarray(a, cast), state)
+    params, state = _cast_tree(params, cast), _cast_tree(state, cast)
 
     def forward(images):
         out, _ = net.apply(params, state, images.astype(cast), train=False)
@@ -73,32 +78,77 @@ def build_serving_forward(net, params, state, dtype="bfloat16"):
     return forward
 
 
+def build_segmentor_forward(net, params, state, dtype="bfloat16"):
+    """The ground-Segmentor serving forward: sigmoided full-scale ground
+    probability, float16 [N,H,W] — the exact artifact the seg Tester writes
+    into the ground_seg npy tree (preprocessing/segmentation/inference.py).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if dtype not in ("bfloat16", "float32"):
+        raise ValueError(f"dtype must be bfloat16 or float32, got {dtype!r}")
+    cast = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    params, state = _cast_tree(params, cast), _cast_tree(state, cast)
+
+    def forward(images):
+        outputs, _ = net.apply(params, state, images.astype(cast), train=False)
+        return jax.nn.sigmoid(outputs[3][..., 0]).astype(jnp.float16)
+
+    return forward
+
+
 def export_serving(weights_path, out_path, *, height, width, batch=16,
-                   dtype="bfloat16", platforms=("tpu", "cpu"), depth=34):
+                   dtype="bfloat16", platforms=("tpu", "cpu"), depth=34,
+                   network="footprint", use_psp=True):
     """Load weights, AOT-lower the serving forward, write the artifact.
 
-    Returns the metadata dict (also written to ``<out>.json``).
+    network 'footprint' (the main 4-channel model) or 'segmentor' (the
+    ground-seg preprocessing model; weights_path may be an epoch_<n>.pth /
+    checkpoint.npz file or a directory).  Returns the metadata dict (also
+    written to ``<out>.json``).
     """
     import jax
     from jax import export as jax_export
 
-    from .model_manager import ModelManager
+    if network == "footprint":
+        from .model_manager import ModelManager
 
-    mm = ModelManager(is_inference=True, depth=depth)
-    mm.load_model(weights_path)
+        mm = ModelManager(is_inference=True, depth=depth)
+        mm.load_model(weights_path)
+        fn = build_serving_forward(mm.net, mm.params, mm.state, dtype)
+        model_meta = {
+            "model": "FootprintNetwork",
+            "output": "float32 [batch, 4, height, width]",
+            "channels": CHANNEL_CONTRACT,
+        }
+    elif network == "segmentor":
+        from .models import Segmentor
+        from .preprocessing.segmentation.trainer import _load_segmentor_weights
 
-    fn = build_serving_forward(mm.net, mm.params, mm.state, dtype)
+        net = Segmentor(depth=depth, use_psp=use_psp)
+        params, state = _load_segmentor_weights(net, weights_path)
+        fn = build_segmentor_forward(net, params, state, dtype)
+        model_meta = {
+            "model": "Segmentor",
+            "use_psp": use_psp,
+            "output": "float16 [batch, height, width] ground probability",
+        }
+    else:
+        raise ValueError(f"network must be footprint or segmentor, "
+                         f"got {network!r}")
+
     spec = jax.ShapeDtypeStruct((batch, height, width, 3), np.float32)
     exported = jax_export.export(jax.jit(fn), platforms=list(platforms))(spec)
 
-    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    out_dir = os.path.dirname(os.path.abspath(out_path))
+    os.makedirs(out_dir, exist_ok=True)
     data = exported.serialize()
     with open(out_path, "wb") as f:
         f.write(data)
 
     meta = {
         "format_version": FORMAT_VERSION,
-        "model": "FootprintNetwork",
         "encoder_depth": depth,
         "height": height,
         "width": width,
@@ -106,10 +156,9 @@ def export_serving(weights_path, out_path, *, height, width, batch=16,
         "dtype": dtype,
         "platforms": list(platforms),
         "input": "float32 [batch, height, width, 3] RGB in [0, 1]",
-        "output": "float32 [batch, 4, height, width]",
-        "channels": CHANNEL_CONTRACT,
         "bytes": len(data),
         "calling_convention_version": exported.calling_convention_version,
+        **model_meta,
     }
     with open(out_path + ".json", "w") as f:
         json.dump(meta, f, indent=2)
@@ -144,8 +193,10 @@ class ServingModel:
                 chunk = np.concatenate(
                     [chunk, np.zeros((self.batch - n,) + expected, np.float32)])
             outs.append(np.asarray(self._exported.call(chunk))[:n])
-        return np.concatenate(outs) if outs else np.zeros(
-            (0, 4, self.height, self.width), np.float32)
+        if outs:
+            return np.concatenate(outs)
+        (out_aval,) = self._exported.out_avals
+        return np.zeros((0,) + out_aval.shape[1:], out_aval.dtype)
 
 
 def load_serving(path):
@@ -183,6 +234,13 @@ def parse_args(argv=None):
                         help="comma-separated lowering targets")
     parser.add_argument("--encoder_depth", type=int, default=34,
                         choices=[18, 34, 50])
+    parser.add_argument("--network", type=str, default="footprint",
+                        choices=["footprint", "segmentor"],
+                        help="which model to export (segmentor = the "
+                             "ground-seg preprocessing net)")
+    parser.add_argument("--no_PSP", action="store_true",
+                        help="segmentor only: model was trained without the "
+                             "PSP bottleneck")
     return parser.parse_args(argv)
 
 
@@ -195,7 +253,8 @@ def main(argv=None):
         args.model_path, args.out,
         height=args.height, width=args.width, batch=args.batch,
         dtype=args.dtype, platforms=tuple(args.platforms.split(",")),
-        depth=args.encoder_depth)
+        depth=args.encoder_depth, network=args.network,
+        use_psp=not args.no_PSP)
     print(f"exported {meta['bytes'] / 1e6:.1f} MB artifact to {args.out} "
           f"({meta['dtype']}, platforms {meta['platforms']})")
 

@@ -90,6 +90,35 @@ def test_multiplatform_export_from_cpu_host(weights_dir, tmp_path):
     assert np.isfinite(got).all()
 
 
+def test_segmentor_export_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from footprints_tpu.models import Segmentor
+    from footprints_tpu.train.checkpoint import save_checkpoint
+
+    net = Segmentor(depth=18)
+    params, state = net.init(jax.random.PRNGKey(3))
+    ckpt = str(tmp_path / "checkpoint.npz")
+    save_checkpoint(ckpt, jax.tree.map(
+        np.asarray, {"params": params, "state": state}))
+
+    out = str(tmp_path / "seg.stablehlo")
+    meta = export_serving(ckpt, out, height=32, width=64, batch=2,
+                          dtype="float32", platforms=("cpu",), depth=18,
+                          network="segmentor")
+    assert meta["model"] == "Segmentor" and meta["use_psp"] is True
+
+    model = load_serving(out)
+    imgs = np.random.RandomState(2).rand(2, 32, 64, 3).astype(np.float32)
+    got = model.call(imgs)
+    assert got.shape == (2, 32, 64) and got.dtype == np.float16
+
+    live, _ = net.apply(params, state, jnp.asarray(imgs), train=False)
+    want = np.asarray(jax.nn.sigmoid(live[3][..., 0]), np.float16)
+    np.testing.assert_allclose(np.float32(got), np.float32(want), atol=1e-3)
+
+
 def test_export_cli(weights_dir, tmp_path):
     out = str(tmp_path / "cli.stablehlo")
     main(["--model_path", weights_dir, "--out", out,
