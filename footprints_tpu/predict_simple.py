@@ -46,7 +46,31 @@ LANCZOS = Image.LANCZOS
 class InferenceManager:
     def __init__(self, model_name, save_dir, save_visualisations=True,
                  model_load_folder=None, height=None, width=None,
-                 apply_sigmoid=False, batch_size=4):
+                 apply_sigmoid=False, batch_size=4, artifact=None):
+        if artifact is not None:
+            # serve from an AOT-exported StableHLO artifact (see
+            # footprints_tpu/export.py) — no checkpoint or tracing needed
+            from .export import load_serving
+
+            serving = load_serving(artifact)
+            if height is not None and (height, width) != (serving.height,
+                                                          serving.width):
+                raise ValueError(
+                    f"--height/--width {height}x{width} conflict with the "
+                    f"artifact's compiled {serving.height}x{serving.width}")
+            self.height, self.width = serving.height, serving.width
+            self.batch_size = serving.batch
+            self.apply_sigmoid = apply_sigmoid
+            self._forward = None
+            self._serving = serving
+            self.save_dir = save_dir
+            os.makedirs(os.path.join(save_dir, "outputs"), exist_ok=True)
+            self.save_visualisations = save_visualisations
+            if save_visualisations:
+                os.makedirs(os.path.join(save_dir, "visualisations"),
+                            exist_ok=True)
+            return
+        self._serving = None
         if model_load_folder is None:
             if model_name is None:
                 raise ValueError(
@@ -104,11 +128,15 @@ class InferenceManager:
 
     def _predict_batch(self, arrs):
         """arrs: list of [H,W,3] -> [B,4,H,W] numpy (channels-first)."""
-        import jax.numpy as jnp
+        if self._serving is not None:
+            preds = self._serving.call(np.stack(arrs))
+        else:
+            import jax.numpy as jnp
 
-        batch = np.zeros((self.batch_size, self.height, self.width, 3), np.float32)
-        batch[: len(arrs)] = np.stack(arrs)
-        preds = np.asarray(self._forward(jnp.asarray(batch))[: len(arrs)])
+            batch = np.zeros(
+                (self.batch_size, self.height, self.width, 3), np.float32)
+            batch[: len(arrs)] = np.stack(arrs)
+            preds = np.asarray(self._forward(jnp.asarray(batch))[: len(arrs)])
         if self.apply_sigmoid:
             preds[:, :2] = 1.0 / (1.0 + np.exp(-preds[:, :2]))
         return preds
@@ -179,6 +207,10 @@ def parse_args(argv=None):
     parser.add_argument("--model_path", type=str, default=None,
                         help="directory with model.pth or checkpoint.npz "
                              "(overrides --model download)")
+    parser.add_argument("--artifact", type=str, default=None,
+                        help="serve from an AOT-exported StableHLO artifact "
+                             "(python -m footprints_tpu.export); resolution "
+                             "and batch come from the artifact")
     parser.add_argument("--height", type=int, default=None)
     parser.add_argument("--width", type=int, default=None)
     parser.add_argument("--no_save_vis", action="store_true",
@@ -204,6 +236,7 @@ def main(argv=None):
         height=args.height,
         width=args.width,
         apply_sigmoid=args.apply_sigmoid,
+        artifact=args.artifact,
     )
     manager.predict(image_path=args.image)
 

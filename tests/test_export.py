@@ -119,6 +119,33 @@ def test_segmentor_export_roundtrip(tmp_path):
     np.testing.assert_allclose(np.float32(got), np.float32(want), atol=1e-3)
 
 
+def test_predict_simple_serves_from_artifact(weights_dir, artifact, tmp_path):
+    from footprints_tpu.predict_simple import main as ps_main
+
+    img = os.path.join(os.path.dirname(__file__), "..", "test_data",
+                       "cyclist.jpg")
+    out, _ = artifact
+    d_art, d_live = str(tmp_path / "art"), str(tmp_path / "live")
+    ps_main(["--image", img, "--artifact", out, "--save_dir", d_art,
+             "--no_save_vis"])
+    ps_main(["--image", img, "--model_path", weights_dir,
+             "--height", str(H), "--width", str(W), "--save_dir", d_live,
+             "--no_save_vis"])
+    a = np.load(os.path.join(d_art, "outputs", "cyclist.npy"))
+    b = np.load(os.path.join(d_live, "outputs", "cyclist.npy"))
+    assert a.shape == (4, H, W)
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_predict_simple_artifact_resolution_conflict(artifact, tmp_path):
+    from footprints_tpu.predict_simple import InferenceManager
+
+    out, _ = artifact
+    with pytest.raises(ValueError, match="conflict"):
+        InferenceManager(model_name=None, save_dir=str(tmp_path / "x"),
+                         artifact=out, height=H * 2, width=W)
+
+
 def test_export_cli(weights_dir, tmp_path):
     out = str(tmp_path / "cli.stablehlo")
     main(["--model_path", weights_dir, "--out", out,
