@@ -11,6 +11,7 @@ model-only .pth).
 """
 
 import os
+import signal
 
 import jax
 import jax.numpy as jnp
@@ -194,8 +195,25 @@ class Trainer:
 
     def train(self):
         print("training")
-        for self.epoch in range(self.opt.epochs):
-            self.run_epoch()
+        self._preempt_requested = False
+        # preemption safety, same contract as the main TrainManager: SIGTERM
+        # -> resumable checkpoint at the end of the in-flight step
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, self._on_preempt)
+        except ValueError:  # not the main thread
+            prev_handler = None
+        try:
+            for self.epoch in range(self.opt.epochs):
+                if self.run_epoch():
+                    print("training preempted — resume from epoch_interrupt")
+                    return
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
+
+    def _on_preempt(self, signum, frame):
+        print("SIGTERM received: will checkpoint after the current step...")
+        self._preempt_requested = True
 
     def run_epoch(self):
         device_iter = DevicePrefetcher(
@@ -213,7 +231,12 @@ class Trainer:
                       f"Train Loss {tracked.get('loss', float('nan')):.4f} -- "
                       f"Val Loss {val_losses.get('loss', float('nan')):.4f}")
             self.step += 1
+            if getattr(self, "_preempt_requested", False):
+                self.save_model(tag="interrupt")
+                print(f"preemption checkpoint saved at step {self.step}")
+                return True
         self.save_model()
+        return False
 
     def run_validation(self, batches=None):
         batches = batches or self.opt.val_batches
@@ -256,13 +279,14 @@ class Trainer:
                 writer.add_image(f"panel/{i}",
                                  np.transpose(strip, (2, 0, 1)), self.step)
 
-    def save_model(self):
+    def save_model(self, tag=None):
         save_path = os.path.join(self.opt.log_path, self.opt.model_name, "models")
         os.makedirs(save_path, exist_ok=True)
         host = jax.tree.map(np.asarray, {
             "params": self.train_state["params"],
             "state": self.train_state["state"],
         })
-        dest = os.path.join(save_path, f"epoch_{self.epoch}", "checkpoint.npz")
+        name = f"epoch_{self.epoch if tag is None else tag}"
+        dest = os.path.join(save_path, name, "checkpoint.npz")
         save_checkpoint(dest, host)
         print(f"saved {dest}")

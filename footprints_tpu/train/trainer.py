@@ -18,6 +18,7 @@ tensorboard + validation at steps divisible by both 100 AND `log_freq`
 """
 
 import os
+import signal
 import time
 
 import jax
@@ -158,10 +159,29 @@ class TrainManager:
     def train(self):
         print("training...")
         self.start_time = time.time()
-        for self.epoch in range(self.opt.epochs):
-            self.run_epoch()
+        self._preempt_requested = False
+        # Preemption safety (TPU fleets get SIGTERM before eviction): save a
+        # resumable checkpoint at the end of the in-flight step instead of
+        # losing the epoch.  The reference only checkpoints per epoch.
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, self._on_preempt)
+        except ValueError:  # not the main thread (e.g. driven from a test)
+            prev_handler = None
+        try:
+            for self.epoch in range(self.opt.epochs):
+                if self.run_epoch():
+                    print("training preempted — resume with "
+                          "--load_path .../weights_interrupt")
+                    return
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
         self._sync_model_manager()
         print("training complete!")
+
+    def _on_preempt(self, signum, frame):
+        print("SIGTERM received: will checkpoint after the current step...")
+        self._preempt_requested = True
 
     def run_epoch(self):
         device_iter = DevicePrefetcher(
@@ -200,10 +220,16 @@ class TrainManager:
                         self._log(self.train_writer, batch, losses)
                     self.val()
             self.step += 1
+            if getattr(self, "_preempt_requested", False):
+                self._sync_model_manager()
+                self.model_manager.save_model(folder_name="weights_interrupt")
+                print(f"preemption checkpoint saved at step {self.step}")
+                return True
 
         print(f"Epoch {self.epoch} complete!")
         self._sync_model_manager()
         self.model_manager.save_model(folder_name=f"weights_{self.epoch}")
+        return False
 
     def val(self):
         with Timer(self.timer, "val_time"):

@@ -213,3 +213,48 @@ def test_seg_train_and_infer_end_to_end(tmp_path, ade20k_tree, compute_dtype):
     assert pred.shape == (1, H, W)
     assert pred.dtype == np.float16
     assert 0 <= pred.min() and pred.max() <= 1
+
+
+@pytest.mark.slow
+def test_seg_trainer_preemption_checkpoint(tmp_path, ade20k_tree):
+    """SIGTERM mid-training -> epoch_interrupt checkpoint, no further epochs
+    (same contract as the main TrainManager)."""
+    import signal
+
+    from footprints_tpu.preprocessing.segmentation.options import Options
+    from footprints_tpu.preprocessing.segmentation.trainer import Trainer
+
+    ade_root, ade_files = ade20k_tree
+    splits = tmp_path / "splits" / "ADE20K"
+    os.makedirs(splits)
+    (splits / "train.txt").write_text("\n".join(ade_files * 2))
+    (splits / "val.txt").write_text("\n".join(ade_files * 2))
+    config = tmp_path / "paths.yaml"
+    config.write_text(yaml.safe_dump({"ADE20K": {"dataset": ade_root}}))
+
+    argv = ["--mode", "train", "--training_datasets", "ADE20K",
+            "--height", str(H), "--width", str(W), "--batch_size", "8",
+            "--epochs", "2", "--num_workers", "2", "--val_batches", "1",
+            "--log_freq", "1000000", "--config_path", str(config),
+            "--log_path", str(tmp_path / "logs"),
+            "--split_root", str(tmp_path / "splits"),
+            "--encoder_depth", "18", "--model_name", "seg"]
+    trainer = Trainer(Options().parse(argv))
+
+    orig_step, fired = trainer._train_step, []
+
+    def step_then_sigterm(ts, batch):
+        out = orig_step(ts, batch)
+        if not fired:
+            fired.append(1)
+            os.kill(os.getpid(), signal.SIGTERM)
+        return out
+
+    trainer._train_step = step_then_sigterm
+    trainer.train()
+
+    models = tmp_path / "logs" / "seg" / "models"
+    assert (models / "epoch_interrupt" / "checkpoint.npz").exists()
+    assert not (models / "epoch_0").exists()
+    assert not (models / "epoch_1").exists()
+    assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL

@@ -88,3 +88,56 @@ def test_train_manager_end_to_end(tmp_path):
     opts2 = Options().parse(argv_resume)
     tm2 = TrainManager(opts2)
     assert tm2.step == 1
+
+
+@pytest.mark.slow
+def test_train_manager_preemption_checkpoint(tmp_path):
+    """SIGTERM mid-training -> resumable checkpoint at the end of the
+    in-flight step, no further epochs run."""
+    import signal
+
+    from footprints_tpu.options import Options
+    from footprints_tpu.train.trainer import TrainManager
+
+    config = _make_kitti_tree(tmp_path)
+    log_path = str(tmp_path / "logs")
+    argv = [
+        "--mode", "train", "--training_dataset", "kitti",
+        "--height", str(H), "--width", str(W),
+        "--batch_size", "8", "--epochs", "2", "--num_workers", "2",
+        "--val_batches", "1", "--log_freq", "1000000",
+        "--config_path", str(config), "--log_path", log_path,
+        "--split_root", str(tmp_path / "splits"),
+        "--encoder_depth", "18", "--model_name", "tiny",
+    ]
+    tm = TrainManager(Options().parse(argv))
+
+    orig_step, fired = tm.train_step, []
+
+    def step_then_sigterm(ts, batch):
+        out = orig_step(ts, batch)
+        if not fired:
+            fired.append(1)
+            # delivered synchronously in the main thread: the handler
+            # installed by train() runs inside this call
+            os.kill(os.getpid(), signal.SIGTERM)
+        return out
+
+    tm.train_step = step_then_sigterm
+    tm.train()
+
+    models = os.path.join(log_path, "tiny", "models")
+    ckpt = os.path.join(models, "weights_interrupt", "checkpoint.npz")
+    assert os.path.exists(ckpt)
+    # preempted during epoch 0's only step: neither epoch checkpoint exists
+    assert not os.path.exists(os.path.join(models, "weights_0"))
+    assert not os.path.exists(os.path.join(models, "weights_1"))
+    assert tm._preempt_requested
+
+    # resume from the interrupt checkpoint: step counter continues
+    argv_resume = argv + ["--load_path",
+                          os.path.join(models, "weights_interrupt")]
+    tm2 = TrainManager(Options().parse(argv_resume))
+    assert tm2.step == 1
+    # the handler was uninstalled on exit from train()
+    assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
