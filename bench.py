@@ -135,6 +135,71 @@ def bench_train(batch=12):
     return batch / sec
 
 
+def bench_seg_train(batch=12):
+    """Ground-seg pipeline mixed-precision train-step throughput (imgs/s).
+
+    Mirrors preprocessing/segmentation/trainer.py's step (reference hot loop:
+    /root/reference/footprints/preprocessing/segmentation/train.py) at the
+    reference defaults: 192x640, batch 12, Adam, 4-scale masked BCE.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from footprints_tpu.models import Segmentor
+    from footprints_tpu.nn import layers
+    from footprints_tpu.preprocessing.segmentation.losses import (
+        compute_seg_losses)
+
+    layers.set_default_precision("default")
+    net = Segmentor(depth=34, use_psp=True)
+    params, state = net.init(jax.random.PRNGKey(0))
+    optimizer = optax.adam(1e-4)
+    opt_state = optimizer.init(params)
+    ts = {"params": params, "state": state, "opt_state": opt_state,
+          "step": jnp.zeros((), jnp.int32)}
+
+    rng = np.random.RandomState(0)
+    b = {
+        "image": jnp.asarray(rng.rand(batch, H, W, 3), jnp.float32),
+        "ground_mask": jnp.asarray(rng.rand(batch, H, W) > 0.5, jnp.float32),
+        "labelled_pix": jnp.asarray(rng.rand(batch, H, W) > 0.1, jnp.float32),
+    }
+
+    def loss_fn(params, state, batch):
+        # bf16 compute copy, f32 masters — same mixed path as the trainer
+        fwd_params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a is not None else None,
+            params)
+        outputs, new_state = net.apply(fwd_params, state,
+                                       batch["image"].astype(jnp.bfloat16),
+                                       train=True)
+        losses = compute_seg_losses(outputs, batch["ground_mask"],
+                                    batch["labelled_pix"])
+        return losses["loss"], new_state
+
+    def raw_step(ts, batch):
+        grads, new_state = jax.grad(loss_fn, has_aux=True)(
+            ts["params"], ts["state"], batch)
+        updates, new_opt = optimizer.update(grads, ts["opt_state"],
+                                            ts["params"])
+        return {"params": optax.apply_updates(ts["params"], updates),
+                "state": new_state, "opt_state": new_opt,
+                "step": ts["step"] + 1}
+
+    @jax.jit
+    def chain(ts, n):
+        def body(_, carry):
+            return raw_step(carry, b)
+
+        carry = jax.lax.fori_loop(0, n, body, ts)
+        # probe must depend on the updated params or XLA DCEs the model
+        return jax.tree.leaves(carry["params"])[0].ravel()[0]
+
+    sec = _time_loop(chain, (ts,), 1, 25)
+    return batch / sec
+
+
 def bench_torch_cpu():
     """Reference-equivalent network in torch on CPU, single image median."""
     try:
@@ -222,6 +287,12 @@ def main():
 
         print(f"bench_train(16) failed: {e!r}", file=sys.stderr, flush=True)
         train_imgs_sec_b16 = None
+    # side pipeline: ground-seg trainer hot loop (best-effort, same policy)
+    try:
+        seg_train_imgs_sec = bench_seg_train()
+    except Exception as e:
+        print(f"bench_seg_train() failed: {e!r}", file=sys.stderr, flush=True)
+        seg_train_imgs_sec = None
     torch_p50 = bench_torch_cpu()
 
     vs_baseline = (torch_p50 / lat1_bf16) if torch_p50 else None
@@ -236,6 +307,8 @@ def main():
         "train_imgs_per_sec_bf16": round(train_imgs_sec, 2),
         "train_imgs_per_sec_bf16_b16": (round(train_imgs_sec_b16, 2)
                                         if train_imgs_sec_b16 else None),
+        "seg_train_imgs_per_sec_bf16": (round(seg_train_imgs_sec, 2)
+                                        if seg_train_imgs_sec else None),
         "torch_cpu_p50_ms": round(torch_p50 * 1e3, 1) if torch_p50 else None,
         "batch": BATCH,
     }
