@@ -314,31 +314,19 @@ def _s2d_reflect_conv_bwd(c, precision, res, cot):
     kernel = _s2d_kernel(w)
     dxp = _dxp_presliced(cot, kernel, precision)
     (dx,) = _s2d_reflect_pad_bwd(c, None, dxp)
-    co = w.shape[3]
-    if co >= 16:
-        # dW in the COMPACT full-res basis.  The vjp through the dense
-        # [3,3,4C,4Co] embedding computes a wgrad with 4x the useful FLOPs
-        # (15/16 of the dense kernel is structural zeros) — measured 3.0
-        # ms/step across these four convs in the r4 trace at an effective
-        # ~36 TF/s.  The s2d conv is numerically conv3x3(reflect_pad(d2s(x)),
-        # w) (the defining identity, tests/test_fast_ops.py), so the weight
-        # gradient is the plain full-res wgrad of that conv — two d2s
-        # relayouts + a 4x-smaller contraction.
-        x_full = depth_to_space(x)
-        cot_full = depth_to_space(cot)
-        xp_full = jnp.pad(x_full, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                          mode="reflect")
-        _, vjp_w = jax.vjp(
-            lambda w: _conv(xp_full, w, precision=precision), w)
-        (dw,) = vjp_w(cot_full)
-    else:
-        # tiny heads (co=2): the dense-basis wgrad is a [3,3,4C,4co] fusion
-        # that XLA already runs close to its bandwidth bound; the full-res
-        # form would hit the slow small-co native wgrad (see ops/wgrad.py)
-        _, vjp_w = jax.vjp(
-            lambda w: _conv(_s2d_reflect_pad(x, c), _s2d_kernel(w),
-                            precision=precision), w)
-        (dw,) = vjp_w(cot)
+    # dW: XLA's native wgrad w.r.t. w only (selector transpose included via
+    # autodiff of the linear _s2d_kernel embedding).  The vjp through the
+    # dense [3,3,4C,4Co] embedding does 4x the useful FLOPs (15/16 of the
+    # dense kernel is structural zeros), but the measured alternative — dW
+    # in the compact full-res basis via the s2d identity (two d2s relayouts
+    # + a 4x-smaller contraction) — LOST 17% end-to-end on the chip
+    # (157.3 vs 189.0 imgs/s @b12, r4): the d2s relayouts of x and cot cost
+    # ~5 ms/step in layout copies and the smaller wgrad runs no faster.
+    # See PERF.md r4 results; don't re-try without new numbers.
+    _, vjp_w = jax.vjp(
+        lambda w: _conv(_s2d_reflect_pad(x, c), _s2d_kernel(w),
+                        precision=precision), w)
+    (dw,) = vjp_w(cot)
     return dx, dw
 
 

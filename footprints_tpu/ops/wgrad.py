@@ -9,8 +9,9 @@ ms/step across the four heads.
 
 This wrapper keeps the forward exactly as before and overrides the VJP:
 
-  * dW: nine shifted ``nhwi,nhwo->io`` contractions (one per kernel tap) —
-    pure streaming reads of the activation at full HBM bandwidth;
+  * dW: one ``npqi,npqc->ic`` contraction of the activation against a
+    zero-embedded stack of the nine tap-shifted cotangents — the big
+    activation is streamed from HBM exactly once;
   * dX: the standard transposed conv, written explicitly (spatially flipped
     kernel, in/out channels swapped) so it stays an MXU conv;
   * db: a plain sum over the cotangent.
@@ -52,18 +53,26 @@ def _bwd(precision, res, cot):
     xp, w, b = res
     precision = precision or get_default_precision()
     n, hp, wp, ci = xp.shape
-    h, w_ = hp - 2, wp - 2
+    co = cot.shape[-1]
     # dW[dy,dx,ci,co] = sum_{n,h,w} xp[n,h+dy,w+dx,ci] * cot[n,h,w,co]
-    taps = []
-    for dy in range(3):
-        row = []
-        for dx in range(3):
-            sl = jax.lax.slice(xp, (0, dy, dx, 0), (n, dy + h, dx + w_, ci))
-            row.append(jnp.einsum("nhwi,nhwo->io", sl, cot,
-                                  precision=precision,
-                                  preferred_element_type=jnp.float32))
-        taps.append(jnp.stack(row))
-    dw = jnp.stack(taps).astype(w.dtype)  # [3,3,ci,co]
+    #                 = sum_{n,p,q} xp[n,p,q,ci] * shift(cot, dy, dx)[n,p,q,co]
+    # Nine per-tap ``nhwi,nhwo->io`` contractions each re-stream the big
+    # activation (9x its HBM bytes — 1.5 ms/step across the six heads in the
+    # r4 trace).  Since co is tiny, zero-embed the nine SHIFTED COTANGENTS
+    # onto xp's grid instead ([n,hp,wp,9co], 9x the *small* tensor) and
+    # contract once: xp is read a single time at full bandwidth.
+    # NOTE: the stack axis is the second-minor dim, NOT a lane-dim concat of
+    # differently-offset row slices (the r2 chip-miscompile pattern); covered
+    # on-chip by tools/chip_parity.py --grads.
+    cot9 = jnp.stack(
+        [jax.lax.pad(cot, jnp.zeros((), cot.dtype),
+                     ((0, 0, 0), (dy, 2 - dy, 0), (dx, 2 - dx, 0), (0, 0, 0)))
+         for dy in range(3) for dx in range(3)],
+        axis=3,
+    ).reshape(n, hp, wp, 9 * co)
+    dw = jnp.einsum("npqi,npqc->ic", xp, cot9,
+                    precision=precision, preferred_element_type=jnp.float32)
+    dw = dw.reshape(ci, 3, 3, co).transpose(1, 2, 0, 3).astype(w.dtype)
     # db must carry b's dtype (not cot's): a partially-cast tree (bf16
     # weights, f32 biases) would otherwise crash custom_vjp's aval check
     db = (None if b is None else

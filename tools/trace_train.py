@@ -11,6 +11,15 @@ formatting", ...) over the LAST full step window, prints ms/step per
 category, and lists the top individual ops (with occurrence counts) so a
 bucket like "data formatting" can be attributed to concrete HLO ops.
 PERF.md's trace tables came from this method.
+
+CAVEAT (learned r4): the traced step is the Python-dispatched jitted step
+WITH its metrics dict returned, while bench.py/ablate_train.py time a
+fori_loop chain whose body discards metrics — XLA dead-code-eliminates
+the loss-metric computation there.  Absolute ms/step from this tool
+therefore OVERSTATES the benched step (observed ~65 traced vs ~63.5
+slope-measured, and up to +14 ms when a change regresses mainly the
+metric-adjacent fusions).  Use traces for A/B deltas and per-op
+attribution; use the slope bench for the headline number.
 """
 
 import glob
