@@ -21,11 +21,21 @@ Numerically identical to the autodiff gradients up to fp summation order
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
 from ..nn.layers import conv2d, get_default_precision
+
+# Default-on with an env off-switch for A/B (like ops/s2d.FUSED_DGRAD):
+# stack the nine shifted cotangents as [9co, N, Hp, Wp] — contracted dims
+# minor — instead of [N, Hp, Wp, 9co].  The r4 trace showed the dot emitter
+# relayouting the [N,Hp,Wp,9co] stack (copy.1028, ~0.3 ms/step at the
+# 1/2-scale heads); leading-k stacking lets the producer write the layout
+# the dot reads.  Measured on chip (2x each, tools/ablate_train.py full 12):
+# 63.59/63.56 ms/step without -> 63.24/62.96 with (~190 imgs/s @b12).
+WGRAD_KSTACK = os.environ.get("FOOTPRINTS_WGRAD_KSTACK", "1") == "1"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -64,14 +74,31 @@ def _bwd(precision, res, cot):
     # NOTE: the stack axis is the second-minor dim, NOT a lane-dim concat of
     # differently-offset row slices (the r2 chip-miscompile pattern); covered
     # on-chip by tools/chip_parity.py --grads.
-    cot9 = jnp.stack(
-        [jax.lax.pad(cot, jnp.zeros((), cot.dtype),
-                     ((0, 0, 0), (dy, 2 - dy, 0), (dx, 2 - dx, 0), (0, 0, 0)))
-         for dy in range(3) for dx in range(3)],
-        axis=3,
-    ).reshape(n, hp, wp, 9 * co)
-    dw = jnp.einsum("npqi,npqc->ic", xp, cot9,
-                    precision=precision, preferred_element_type=jnp.float32)
+    if WGRAD_KSTACK:
+        # contracted dims (n,p,q) minor in the stacked tensor: the producer
+        # writes the layout the dot reads, no relayout copy
+        cot_t = jnp.transpose(cot, (3, 0, 1, 2))  # [co,N,H,W]
+        cot9 = jnp.stack(
+            [jax.lax.pad(cot_t, jnp.zeros((), cot.dtype),
+                         ((0, 0, 0), (0, 0, 0), (dy, 2 - dy, 0),
+                          (dx, 2 - dx, 0)))
+             for dy in range(3) for dx in range(3)],
+            axis=0,
+        ).reshape(9 * co, n, hp, wp)
+        dw = jnp.einsum("npqi,knpq->ik", xp, cot9,
+                        precision=precision,
+                        preferred_element_type=jnp.float32)
+    else:
+        cot9 = jnp.stack(
+            [jax.lax.pad(cot, jnp.zeros((), cot.dtype),
+                         ((0, 0, 0), (dy, 2 - dy, 0), (dx, 2 - dx, 0),
+                          (0, 0, 0)))
+             for dy in range(3) for dx in range(3)],
+            axis=3,
+        ).reshape(n, hp, wp, 9 * co)
+        dw = jnp.einsum("npqi,npqc->ic", xp, cot9,
+                        precision=precision,
+                        preferred_element_type=jnp.float32)
     dw = dw.reshape(ci, 3, 3, co).transpose(1, 2, 0, 3).astype(w.dtype)
     # db must carry b's dtype (not cot's): a partially-cast tree (bf16
     # weights, f32 biases) would otherwise crash custom_vjp's aval check

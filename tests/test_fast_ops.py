@@ -117,6 +117,17 @@ def test_conv3x3_valid_small_co_matches_conv2d_values_and_grads():
     np.testing.assert_allclose(np.asarray(fast(x, w, b)),
                                np.asarray(naive(x, w, b)), rtol=1e-6)
     g_ref = jax.grad(naive, argnums=(0, 1, 2))(x, w, b)
-    g_fast = jax.grad(fast, argnums=(0, 1, 2))(x, w, b)
-    for a, r in zip(g_fast, g_ref):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=2e-5)
+    from footprints_tpu.ops import wgrad as wgrad_mod
+    saved = wgrad_mod.WGRAD_KSTACK
+    try:
+        for kstack in (True, False):  # both dW stacking layouts
+            wgrad_mod.WGRAD_KSTACK = kstack
+            g_fast = jax.grad(fast, argnums=(0, 1, 2))(x, w, b)
+            for a, r in zip(g_fast, g_ref):
+                # rtol covers fp summation-order drift on O(10) dW entries
+                # (the KSTACK contraction order differs from autodiff's;
+                # rel err ~6e-7)
+                np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                           rtol=2e-5, atol=2e-5)
+    finally:
+        wgrad_mod.WGRAD_KSTACK = saved
