@@ -64,6 +64,13 @@ class Options:
                        choices=["float32", "bfloat16"],
                        help="forward/backward compute dtype; bfloat16 = "
                             "mixed precision (f32 master params)")
+        p.add_argument("--host_batch_compact", type=str, default="exact",
+                       choices=["none", "exact", "f16"],
+                       help="host->device batch encoding (data/compact.py): "
+                            "'exact' ships uint8 image/masks and upcasts on "
+                            "device (bitwise-lossless, ~58%% fewer bytes); "
+                            "'f16' additionally ships depth maps as float16 "
+                            "(~1e-3 rel loss, ~69%% fewer); 'none' = raw f32")
         p.add_argument("--debug_nans", action="store_true",
                        help="enable jax NaN checking (recompiles per-op; "
                             "debugging only)")

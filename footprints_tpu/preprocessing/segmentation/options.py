@@ -31,6 +31,10 @@ class Options:
                        help="train-step compute dtype (bf16 compute copies, "
                             "f32 master params/loss — same mixed-precision "
                             "design as the main trainer)")
+        p.add_argument("--host_batch_compact", type=str, default="exact",
+                       choices=["none", "exact", "f16"],
+                       help="host->device batch encoding (data/compact.py); "
+                            "'exact' is bitwise-lossless uint8 transport")
         p.add_argument("--num_workers", type=int, default=4)
         p.add_argument("--model_name", type=str, default="model")
         p.add_argument("--log_path", type=str, default="./logs")

@@ -19,6 +19,7 @@ import numpy as np
 import optax
 
 from ...core.config import load_config, readlines
+from ...data.compact import BatchCompactor, decompact_on_device
 from ...data.loader import DataLoader, DevicePrefetcher
 from ...models import Segmentor
 from ...parallel import make_mesh, replicate_tree, shard_batch
@@ -114,6 +115,11 @@ class Trainer:
             lambda p, st, im: self.net.apply(p, st, im, train=False)[0])
         self.step = 0
         self.val_iter = iter(self.val_loader)
+        # compact host->device encoding (data/compact.py; 'exact' transport
+        # + separate-dispatch device decode is bitwise-lossless — seg images
+        # are u8/255, masks binary)
+        self._compactor = BatchCompactor(
+            getattr(self.opt, "host_batch_compact", "exact"))
 
     # ------------------------------------------------------------------
 
@@ -215,9 +221,16 @@ class Trainer:
         print("SIGTERM received: will checkpoint after the current step...")
         self._preempt_requested = True
 
+    def _put(self, host_batch):
+        # compact wire bytes, then decode to f32 on device in a separate
+        # dispatch — the train step's compiled graph never sees uint8
+        # (same design + rationale as train/trainer.py:_put)
+        return decompact_on_device(
+            shard_batch(self.mesh, self._compactor(host_batch)))
+
     def run_epoch(self):
         device_iter = DevicePrefetcher(
-            iter(self.train_loader), lambda b: shard_batch(self.mesh, b), depth=2)
+            iter(self.train_loader), self._put, depth=2)
         for i, batch in enumerate(device_iter):
             self.train_state, losses = self._train_step(self.train_state, batch)
             self.evaluator.accumulate(losses, mode="train")
@@ -247,7 +260,7 @@ class Trainer:
             except StopIteration:
                 self.val_iter = iter(self.val_loader)
                 host_batch = next(self.val_iter)
-            batch = shard_batch(self.mesh, host_batch)
+            batch = self._put(host_batch)
             losses = self._eval_step(self.train_state["params"],
                                      self.train_state["state"], batch)
             self.evaluator.accumulate(losses, mode="val")

@@ -26,6 +26,7 @@ import numpy as np
 
 from ..core.config import load_config, readlines
 from ..data import DataLoader, DevicePrefetcher, get_dataset_class
+from ..data.compact import BatchCompactor, decompact_on_device
 from ..model_manager import ModelManager
 from ..parallel import make_mesh, replicate_tree, shard_batch
 from ..utils import sec_to_hm_str
@@ -85,6 +86,13 @@ class TrainManager:
         n_dev = len(self.mesh.devices.flat)
         assert self.opt.batch_size % n_dev == 0, (
             f"batch_size {self.opt.batch_size} must divide over {n_dev} devices")
+
+        # compact host->device encoding (data/compact.py): 'exact' transport
+        # + separate-dispatch device decode is bitwise-identical to raw f32
+        # (chip_parity.py --compact), so it is the default;
+        # --host_batch_compact none restores raw-f32 transport
+        self._compactor = BatchCompactor(
+            getattr(self.opt, "host_batch_compact", "exact"))
 
         loss_config = LossConfig(
             min_depth=self.opt.depth_range[0],
@@ -253,7 +261,10 @@ class TrainManager:
     # ------------------------------------------------------------------
 
     def _put(self, host_batch):
-        return shard_batch(self.mesh, host_batch)
+        # compact wire bytes, then decode to f32 on device in a separate
+        # dispatch — the train step's compiled graph never sees uint8
+        return decompact_on_device(
+            shard_batch(self.mesh, self._compactor(host_batch)))
 
     def _log(self, writer, batch, losses):
         if writer is None:

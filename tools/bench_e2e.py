@@ -68,6 +68,10 @@ def main():
     ap.add_argument("--width", type=int, default=MAP_W)
     ap.add_argument("--platform", choices=["default", "cpu"],
                     default="default")
+    ap.add_argument("--compact", choices=["none", "exact", "f16"],
+                    default="exact",
+                    help="host->device batch encoding (data/compact.py); "
+                         "mirrors the trainer's --host_batch_compact")
     args = ap.parse_args()
 
     import jax
@@ -112,14 +116,22 @@ def main():
     train_state = replicate_tree(
         mesh, init_train_state(net, jax.random.PRNGKey(0), cfg))
     step = build_train_step(net, cfg, mesh=mesh)
-    put = lambda b: shard_batch(mesh, b)  # noqa: E731 — trainer.py:_put
+    from footprints_tpu.data.compact import BatchCompactor, decompact_on_device
+    compactor = BatchCompactor(args.compact)
+    results["compact"] = args.compact
+    # mirrors trainer._put: compact wire transport + separate-dispatch decode
+    put = lambda b: decompact_on_device(  # noqa: E731
+        shard_batch(mesh, compactor(b)))
 
     # one host batch for bookkeeping + warmup
     first = next(iter(fresh_loader()))
     nbytes = batch_nbytes(first)
+    wire_bytes = batch_nbytes(compactor(first))
     results["batch_mb"] = round(nbytes / 2**20, 1)
-    print(f"host batch: {nbytes / 2**20:.1f} MB "
-          f"({ {k: str(np.asarray(v).dtype) for k, v in first.items()} })",
+    results["wire_mb"] = round(wire_bytes / 2**20, 1)
+    print(f"host batch: {nbytes / 2**20:.1f} MB f32, "
+          f"{wire_bytes / 2**20:.1f} MB on the wire ({args.compact}; "
+          f"{ {k: str(np.asarray(v).dtype) for k, v in compactor(first).items()} })",
           flush=True)
 
     # measure raw H2D bandwidth with the real batch (slope: the probe makes
@@ -132,8 +144,8 @@ def main():
     t0 = time.perf_counter()
     float(probe_sum(put(first)))
     dt = time.perf_counter() - t0
-    results["h2d_mb_per_s"] = round(nbytes / 2**20 / dt, 1)
-    print(f"h2d: {nbytes / 2**20 / dt:.1f} MB/s "
+    results["h2d_mb_per_s"] = round(wire_bytes / 2**20 / dt, 1)
+    print(f"h2d: {wire_bytes / 2**20 / dt:.1f} wire-MB/s "
           f"({dt:.2f} s/batch incl. dispatch)", flush=True)
 
     # -- leg 1: loader only ------------------------------------------------

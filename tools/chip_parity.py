@@ -157,6 +157,21 @@ def check_ops(cpu):
                                         space_to_depth)
 
     ok = True
+
+    # uint8 image decode (data/compact.py): the LUT gather must return the
+    # host-computed f32(u8)/255 values BITWISE for all 256 codes.  The
+    # domain is tiny, so this check is exhaustive.
+    from footprints_tpu.data.compact import decompact_batch
+    codes = np.arange(256, dtype=np.uint8).reshape(1, 16, 16, 1)
+    img = np.broadcast_to(codes, (1, 16, 16, 3)).copy()
+    dec = jax.jit(lambda b: decompact_batch(b)["image"])
+    got = np.asarray(dec({"image": jnp.asarray(img)}))
+    want = img.astype(np.float32) / np.float32(255.0)
+    exact = np.array_equal(got, want)
+    print(f"  {'ok  ' if exact else 'FAIL'} u8_decode 256-code LUT "
+          f"({'bitwise' if exact else 'MISMATCH'})")
+    ok &= exact
+
     # (name, fn-builder, input shape, weight shape)
     shapes = [
         ("s2d_conv tail", (2, 96, 320, 128), (3, 3, 32, 32)),
@@ -434,6 +449,70 @@ def check_seg_grads(cpu, height=192, width=640, compute_dtype=None,
         layers.set_default_precision(old_precision)
 
 
+def check_compact(height=96, width=160):
+    """Compact transport + separate-dispatch device decode vs raw f32,
+    ON THE EXECUTING DEVICE, asserted BITWISE.
+
+    Two legs:
+      1. decode: decompact_on_device(compact) must equal the host f32
+         batch bitwise for every key (the LUT gather is exhaustively
+         checked per-code in check_ops; this checks the real batch
+         pytree through the real put-path jit).
+      2. train step: feeding the decoded batch to the real
+         build_train_step executable must produce BITWISE identical
+         params + loss to feeding the raw-f32 device batch — same
+         compiled graph, identical inputs, so anything else is
+         nondeterminism or an aliasing bug in the decode dispatch.
+
+    (History: an earlier design traced the decode INTO the step; on v5e
+    the changed fusion schedule moved params by 2e-4 after one Adam step
+    even with bitwise-identical inputs.  The separate dispatch makes
+    bitwise the correct expectation — see data/compact.py.)"""
+    from footprints_tpu.data.compact import BatchCompactor, decompact_on_device
+    from footprints_tpu.models.footprint import FootprintNetwork
+    from footprints_tpu.train.step import (TrainStepConfig, build_train_step,
+                                           init_train_state)
+
+    rng = np.random.RandomState(3)
+    u8 = rng.randint(0, 256, (2, height, width, 3)).astype(np.uint8)
+    batch = {
+        "image": u8.astype(np.float32) / np.float32(255.0),
+        "visible_ground": rng.randint(0, 2, (2, height, width)).astype(np.float32),
+        "all_ground": rng.randint(0, 2, (2, height, width)).astype(np.float32),
+        "moving_object_mask": rng.randint(0, 2, (2, height, width)).astype(np.float32),
+        "depth_mask": rng.randint(0, 2, (2, height, width)).astype(np.float32),
+        "depth": (rng.rand(2, height, width) * 20).astype(np.float32),
+        "ground_depth": (rng.rand(2, height, width) * 15).astype(np.float32),
+    }
+    raw_dev = {k: jnp.asarray(v) for k, v in batch.items()}
+    decoded = decompact_on_device(
+        {k: jnp.asarray(v) for k, v in BatchCompactor("exact")(batch).items()})
+
+    # on-device bitwise comparison: one bool scalar back over the tunnel
+    @jax.jit
+    def all_equal(a, b):
+        eq = jax.tree.leaves(jax.tree.map(
+            lambda x, y: jnp.all(x == y), a, b))
+        return jnp.all(jnp.stack(eq))
+
+    dec_ok = bool(np.asarray(all_equal(decoded, raw_dev)))
+    print(f"  {'ok  ' if dec_ok else 'FAIL'} compact decode pytree "
+          f"{height}x{width} ({'bitwise' if dec_ok else 'MISMATCH'})")
+
+    net = FootprintNetwork()
+    cfg = TrainStepConfig(steps_per_epoch=10, compute_dtype="bfloat16")
+    state = init_train_state(net, jax.random.PRNGKey(0), cfg)
+    step = build_train_step(net, cfg, mesh=None)
+
+    s1, m1 = step(jax.tree.map(jnp.copy, state), raw_dev)
+    s2, m2 = step(jax.tree.map(jnp.copy, state), decoded)
+    step_ok = bool(np.asarray(all_equal((s1["params"], m1["loss"]),
+                                        (s2["params"], m2["loss"]))))
+    print(f"  {'ok  ' if step_ok else 'FAIL'} compact-fed train step "
+          f"{height}x{width} ({'bitwise' if step_ok else 'MISMATCH'})")
+    return dec_ok and step_ok
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ops", action="store_true", help="per-op checks only")
@@ -441,6 +520,8 @@ def main():
                     help="backward-pass (train gradient) checks only")
     ap.add_argument("--seg", action="store_true",
                     help="segmentation network checks only")
+    ap.add_argument("--compact", action="store_true",
+                    help="compact-batch vs raw-f32 train step, on-device")
     ap.add_argument("--resolutions", default="192x640",
                     help="comma list, e.g. 192x640,512x640,256x448")
     args = ap.parse_args()
@@ -460,7 +541,9 @@ def main():
         print("WARNING: default device is CPU — this run checks nothing.")
 
     ok = True
-    if args.ops:
+    if args.compact:
+        ok &= check_compact()
+    elif args.ops:
         ok &= check_ops(cpu)
     elif args.grads and args.seg:
         h, w = (int(v) for v in args.resolutions.split(",")[0].split("x"))
