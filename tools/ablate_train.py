@@ -79,6 +79,20 @@ def main():
     except Exception:
         pass
 
+    # A/B backend compiler knobs: FOOTPRINTS_XLA_OPTS="k=v,k=v" routes
+    # through jit(compiler_options=...) — the tunnel's remote compiler
+    # validates and applies these, while TPU flags in XLA_FLAGS are
+    # rejected by the local (CPU-client) flag parser and fatal.  Patches
+    # jax.jit process-wide so build_train_step's internal jit sees them
+    # too; diagnostic tool only.
+    opts = os.environ.get("FOOTPRINTS_XLA_OPTS", "")
+    if opts:
+        co = dict(kv.split("=", 1) for kv in opts.split(",") if kv)
+        print(f"compiler_options: {co}", flush=True)
+        _jit = jax.jit
+        jax.jit = lambda *a, **k: _jit(
+            *a, compiler_options={**co, **k.pop("compiler_options", {})}, **k)
+
     from footprints_tpu.models import FootprintNetwork
     from footprints_tpu.nn import layers, blocks
     from footprints_tpu.train import TrainStepConfig, init_train_state
