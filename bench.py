@@ -93,8 +93,11 @@ def bench_jax(precision: str, batch: int):
     return batch / sec, sec
 
 
-def bench_train(batch=12):
-    """Mixed-precision training-step throughput (imgs/s) on one chip."""
+def bench_train(batch=12, height=H, width=W, n_hi=25):
+    """Mixed-precision training-step throughput (imgs/s) on one chip.
+
+    Defaults bench the KITTI recipe (192x640 batch 12); the matterport
+    recipe is 512x640 batch 8 (reference README.md:140)."""
     import jax
     import jax.numpy as jnp
 
@@ -107,13 +110,13 @@ def bench_train(batch=12):
     net = FootprintNetwork(depth=34)
     rng = np.random.RandomState(0)
     b = {k: jnp.asarray(np.asarray(v), jnp.float32) for k, v in {
-        "image": rng.rand(batch, H, W, 3),
-        "depth": rng.rand(batch, H, W) * 20,
-        "visible_ground": rng.rand(batch, H, W) > 0.5,
-        "all_ground": rng.rand(batch, H, W) > 0.4,
-        "ground_depth": rng.rand(batch, H, W) * 15,
-        "depth_mask": rng.rand(batch, H, W) > 0.6,
-        "moving_object_mask": np.zeros((batch, H, W))}.items()}
+        "image": rng.rand(batch, height, width, 3),
+        "depth": rng.rand(batch, height, width) * 20,
+        "visible_ground": rng.rand(batch, height, width) > 0.5,
+        "all_ground": rng.rand(batch, height, width) > 0.4,
+        "ground_depth": rng.rand(batch, height, width) * 15,
+        "depth_mask": rng.rand(batch, height, width) > 0.6,
+        "moving_object_mask": np.zeros((batch, height, width))}.items()}
     cfg = TrainStepConfig(steps_per_epoch=1000, compute_dtype="bfloat16")
     ts = init_train_state(net, jax.random.PRNGKey(0), cfg)
     raw_step = build_train_step(net, cfg, mesh=False)  # unjitted
@@ -131,7 +134,7 @@ def bench_train(batch=12):
 
     # 24-step window (~1.7 s on device) so tunnel jitter is <15% of the
     # measured quantity instead of ~100% at the old 1->5 window
-    sec = _time_loop(chain, (ts,), 1, 25)
+    sec = _time_loop(chain, (ts,), 1, n_hi)
     return batch / sec
 
 
@@ -293,6 +296,15 @@ def main():
     except Exception as e:
         print(f"bench_seg_train() failed: {e!r}", file=sys.stderr, flush=True)
         seg_train_imgs_sec = None
+    # matterport training recipe: 512x640 batch 8 (reference README.md:140)
+    # — BASELINE config #5's per-chip train number; the step is ~3x the
+    # KITTI one, so a shorter fori window keeps the device time ~2 s
+    try:
+        mp_train_imgs_sec = bench_train(8, height=512, width=640, n_hi=13)
+    except Exception as e:
+        print(f"bench_train(matterport) failed: {e!r}", file=sys.stderr,
+              flush=True)
+        mp_train_imgs_sec = None
     torch_p50 = bench_torch_cpu()
 
     vs_baseline = (torch_p50 / lat1_bf16) if torch_p50 else None
@@ -309,6 +321,8 @@ def main():
                                         if train_imgs_sec_b16 else None),
         "seg_train_imgs_per_sec_bf16": (round(seg_train_imgs_sec, 2)
                                         if seg_train_imgs_sec else None),
+        "matterport_train_imgs_per_sec_bf16": (round(mp_train_imgs_sec, 2)
+                                               if mp_train_imgs_sec else None),
         "torch_cpu_p50_ms": round(torch_p50 * 1e3, 1) if torch_p50 else None,
         "batch": BATCH,
     }

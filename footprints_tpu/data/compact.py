@@ -20,17 +20,32 @@ Exactness contract:
     compactor proves exactness on the batch it inspects (see `verify`).
   * 'f16' mode: depth/ground_depth lose ~1e-3 relative — measurably
     nothing for training (the f16 source files quantized harder), but NOT
-    bitwise, so it is opt-in and off in parity tests.
+    bitwise, so it is opt-in and off in parity tests.  Keys whose values
+    would overflow float16 (|x| > 65504 -> inf) are never locked to f16;
+    they pass through as f32.
 
 The per-key scheme is locked on the first batch (jit sees one stable set
-of dtypes; no recompiles) and applied to every later batch.  verify="first"
-(default) runs the full exactness proof on the locking batch only —
-the pipeline is deterministic per dataset, so a representation that holds
-for one batch holds for the epoch; verify="always" re-proves every batch
-(2x memory-bandwidth cost on the feed path).
+of dtypes; no recompiles) and applied to every later batch.  The guard is
+LIVE on every batch (verify="strided", the default): the locking batch
+gets the full exactness proof, every later batch gets a strided-subsample
+proof (~0.4% of elements, measured <1% of encode cost), and every
+FULL_VERIFY_EVERY-th batch per key gets the full proof again — so a
+contract break (e.g. a future augmentation that interpolates in f32, or
+soft mask values) raises within FULL_VERIFY_EVERY batches at the latest
+instead of silently quantizing training data.  verify="always" re-proves
+every batch in full (2x memory-bandwidth cost on the feed path);
+verify="first" is the trusting legacy mode (locking batch only).
 """
 
 import numpy as np
+
+# strided-subsample stride: a prime so the sample never aligns with image
+# row/channel periodicities; samples ~0.4% of elements per batch
+SPOT_STRIDE = 251
+# full re-proof cadence per key under verify="strided"
+FULL_VERIFY_EVERY = 64
+
+F16_MAX = float(np.finfo(np.float16).max)
 
 
 def _u8_image_exact(a):
@@ -49,20 +64,37 @@ def _u8_map_exact(a):
     return None
 
 
+def _f16_safe(a):
+    """True iff casting to f16 cannot overflow to inf (advisor r4: a value
+    > 65504 silently becoming inf is far worse than the ~1e-3 loss)."""
+    return bool(np.max(np.abs(a), initial=0.0) <= F16_MAX)
+
+
 class BatchCompactor:
     """Callable batch -> compact batch; locks its per-key scheme on the
-    first batch it sees.  mode: 'none' | 'exact' | 'f16'."""
+    first batch it sees.  mode: 'none' | 'exact' | 'f16';
+    verify: 'strided' (default) | 'always' | 'first'.
 
-    def __init__(self, mode="exact", verify="first"):
+    The locked scheme is exposed as `.scheme` (key -> 'u8_image' | 'u8' |
+    'f16' | None) so the device decode can be driven by it instead of
+    inferring encodings from dtypes (see decompact_batch)."""
+
+    def __init__(self, mode="exact", verify="strided"):
         if mode not in ("none", "exact", "f16"):
             raise ValueError(f"mode={mode!r}: one of none/exact/f16")
-        if verify not in ("first", "always"):
-            raise ValueError(f"verify={verify!r}: one of first/always")
+        if verify not in ("strided", "first", "always"):
+            raise ValueError(f"verify={verify!r}: one of strided/first/always")
         self.mode = mode
         self.verify = verify
         # key -> 'u8_image' | 'u8' | 'f16' | None; locked per key on first
         # sight (train/val batches may carry different key sets)
         self._scheme = {}
+        self._seen = {}  # key -> batches encoded since lock
+
+    @property
+    def scheme(self):
+        """Immutable view of the locked per-key encodings."""
+        return dict(self._scheme)
 
     def _lock_key(self, key, a):
         enc = None
@@ -72,10 +104,20 @@ class BatchCompactor:
                     enc = "u8_image"
             elif _u8_map_exact(a) is not None:
                 enc = "u8"
-            elif self.mode == "f16":
+            elif self.mode == "f16" and _f16_safe(a):
                 enc = "f16"
         self._scheme[key] = enc
+        self._seen[key] = 0
         return enc
+
+    def _check_level(self, key):
+        """'full' | 'spot' | None for this (key, batch) under self.verify."""
+        if self.verify == "always":
+            return "full"
+        if self.verify == "first":
+            return None
+        n = self._seen[key]
+        return "full" if n % FULL_VERIFY_EVERY == 0 else "spot"
 
     def __call__(self, batch):
         out = {}
@@ -83,38 +125,67 @@ class BatchCompactor:
             a = np.asarray(val)
             enc = (self._scheme[key] if key in self._scheme
                    else self._lock_key(key, a))
+            if enc is None:
+                out[key] = val
+                continue
+            level = self._check_level(key)
+            self._seen[key] += 1
             if enc == "u8_image":
-                u8 = (_u8_image_exact(a) if self.verify == "always"
-                      else np.rint(a * np.float32(255.0)).astype(np.uint8))
+                if level == "full":
+                    u8 = _u8_image_exact(a)
+                else:
+                    u8 = np.rint(a * np.float32(255.0)).astype(np.uint8)
+                    if level == "spot" and not (
+                        u8.reshape(-1)[::SPOT_STRIDE].astype(np.float32)
+                        / np.float32(255.0)
+                        == a.reshape(-1)[::SPOT_STRIDE]
+                    ).all():
+                        u8 = None
                 if u8 is None:
                     raise ValueError(
                         "image batch is no longer exactly uint8/255; "
                         "the locked 'exact' compaction would be lossy")
                 out[key] = u8
             elif enc == "u8":
-                u8 = (_u8_map_exact(a) if self.verify == "always"
-                      else a.astype(np.uint8))
+                if level == "full":
+                    u8 = _u8_map_exact(a)
+                else:
+                    u8 = a.astype(np.uint8)
+                    if level == "spot" and not (
+                        u8.reshape(-1)[::SPOT_STRIDE].astype(np.float32)
+                        == a.reshape(-1)[::SPOT_STRIDE]
+                    ).all():
+                        u8 = None
                 if u8 is None:
                     raise ValueError(
                         f"batch[{key!r}] is no longer integral uint8; "
                         "the locked 'exact' compaction would be lossy")
                 out[key] = u8
             elif enc == "f16":
+                if level is not None:
+                    sample = (a if level == "full"
+                              else a.reshape(-1)[::SPOT_STRIDE])
+                    if not _f16_safe(sample):
+                        raise ValueError(
+                            f"batch[{key!r}] exceeds float16 range; the "
+                            "locked 'f16' compaction would overflow to inf")
                 out[key] = a.astype(np.float16)
-            else:
-                out[key] = val
         return out
 
 
-def decompact_batch_np(batch):
+def decompact_batch_np(batch, scheme=None):
     """Host-side (numpy) twin of decompact_batch, for logging/panels that
     fetch compact device batches back to the host."""
     out = {}
     for key, val in batch.items():
         a = np.asarray(val)
-        if a.dtype == np.uint8 and key == "image":
+        enc = scheme.get(key) if scheme is not None else (
+            "u8_image" if a.dtype == np.uint8 and key == "image"
+            else "u8" if a.dtype == np.uint8
+            else "f16" if a.dtype == np.float16 else None)
+        if enc == "u8_image":
             out[key] = a.astype(np.float32) / np.float32(255.0)
-        elif a.dtype in (np.uint8, np.float16):
+        elif enc in ("u8", "f16"):
             out[key] = a.astype(np.float32)
         else:
             out[key] = a
@@ -130,8 +201,15 @@ def decompact_batch_np(batch):
 _IMAGE_LUT = np.arange(256, dtype=np.float32) / np.float32(255.0)
 
 
-def decompact_batch(batch):
-    """Device-side inverse, dtype-driven (a no-op on plain f32 batches).
+def decompact_batch(batch, scheme=None):
+    """Device-side inverse (a no-op on plain f32 batches).
+
+    With `scheme` (a BatchCompactor.scheme dict) the decode is driven by
+    the compactor's locked encodings, so keys the compactor passed through
+    untouched keep their native dtypes — a uint8 label-id map or a float16
+    source array that was never compacted is NOT upcast (advisor r4).
+    Without a scheme the decode falls back to dtype inference, which is
+    only correct for pipelines whose post-preprocess keys are all f32.
 
     The uint8 image decodes through _IMAGE_LUT, bitwise-equal to the host
     f32(u8)/255.0 (exhaustively chip-checked: tools/chip_parity.py --ops).
@@ -140,19 +218,23 @@ def decompact_batch(batch):
 
     out = {}
     for key, val in batch.items():
-        if val.dtype == jnp.uint8 and key == "image":
+        enc = scheme.get(key) if scheme is not None else (
+            "u8_image" if val.dtype == jnp.uint8 and key == "image"
+            else "u8" if val.dtype == jnp.uint8
+            else "f16" if val.dtype == jnp.float16 else None)
+        if enc == "u8_image":
             out[key] = jnp.asarray(_IMAGE_LUT)[val.astype(jnp.int32)]
-        elif val.dtype in (jnp.uint8, jnp.float16):
+        elif enc in ("u8", "f16"):
             out[key] = val.astype(jnp.float32)
         else:
             out[key] = val
     return out
 
 
-_decompact_jit = None
+_decompact_jits = {}
 
 
-def decompact_on_device(batch):
+def decompact_on_device(batch, scheme=None):
     """Jitted decode as its OWN dispatch — deliberately NOT traced into the
     train/eval steps.
 
@@ -168,9 +250,17 @@ def decompact_on_device(batch):
     compact-vs-raw training is bitwise-equal by executable determinism
     (asserted: tools/chip_parity.py --compact).  The extra HBM round-trip
     of the decoded batch is ~0.1 ms against a ~65 ms step.
+
+    One jitted decode is cached per distinct scheme (the scheme can grow
+    once when val-only keys first lock — one extra trivial retrace).
     """
-    global _decompact_jit
-    if _decompact_jit is None:
+    key = None if scheme is None else tuple(sorted(scheme.items(),
+                                                   key=lambda kv: kv[0]))
+    fn = _decompact_jits.get(key)
+    if fn is None:
         import jax
-        _decompact_jit = jax.jit(decompact_batch)
-    return _decompact_jit(batch)
+
+        frozen = None if scheme is None else dict(scheme)
+        fn = jax.jit(lambda b: decompact_batch(b, frozen))
+        _decompact_jits[key] = fn
+    return fn(batch)

@@ -114,6 +114,60 @@ class DataLoader:
                 cond.notify_all()
 
 
+class BackgroundWriter:
+    """Single background thread draining a bounded queue of save thunks.
+
+    The batch-inference dumps (eval/inference.py, seg Tester) previously
+    serialized device compute against per-image host `np.save`s; queueing
+    the saves here (and double-buffering the forward/fetch, see those run
+    loops) overlaps device compute, the device->host fetch, and file I/O.
+    Errors raised by a thunk surface on the next submit() or on close().
+    """
+
+    def __init__(self, max_pending=64):
+        import queue
+
+        self._q = queue.Queue(maxsize=max_pending)
+        self._err = None
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            if self._err is None:  # after an error, drain without running
+                fn, args, kwargs = item
+                try:
+                    fn(*args, **kwargs)
+                except Exception as e:
+                    self._err = e
+
+    def submit(self, fn, *args, **kwargs):
+        if self._err is not None:
+            raise self._err
+        self._q.put((fn, args, kwargs))
+
+    def close(self):
+        """Flush the queue, join the thread, re-raise any thunk error."""
+        self._q.put(None)
+        self._t.join()
+        if self._err is not None:
+            raise self._err
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *_):
+        if exc_type is None:
+            self.close()
+        else:  # don't mask the in-flight exception; just stop the thread
+            self._err = self._err or RuntimeError("aborted")
+            self._q.put(None)
+            self._t.join()
+
+
 class DevicePrefetcher:
     """Wrap a batch iterator; keep `depth` batches already transferred to the
     device/mesh so the host->HBM copy overlaps with compute."""

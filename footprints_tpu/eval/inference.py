@@ -74,26 +74,54 @@ class InferenceManager:
                             num_workers=self.opt.num_workers, drop_last=False)
         return loader, dataset
 
-    def run(self):
+    def run(self, overlap=True):
+        """Dump predictions for the test split.
+
+        `overlap=True` (default) pipelines the loop: batch n+1's forward is
+        dispatched BEFORE batch n's device->host fetch, and the per-image
+        `np.save`s run on a writer thread — device compute, the fetch, and
+        file I/O all overlap (the reference's loop serializes them,
+        evaluation/inference.py:82-96; measured A/B: tools/bench_dump.py).
+        `overlap=False` keeps the serial order for measurement.
+        """
         import jax.numpy as jnp
 
         from tqdm import tqdm
 
+        from ..data.loader import BackgroundWriter
+
         print("running inference...")
         bs = self.opt.batch_size
-        for inputs in tqdm(self.loader, total=len(self.loader)):
+
+        def submit(inputs):
             images = inputs["image"]
             n = images.shape[0]
             if n < bs:  # pad the tail batch to keep one compiled shape
                 pad = np.zeros((bs - n,) + images.shape[1:], images.dtype)
                 images = np.concatenate([images, pad])
-            preds = np.asarray(self._forward(jnp.asarray(images))[:n])  # [N,4,H,W] f16
+            # async dispatch: returns a device array future
+            return self._forward(jnp.asarray(images)), inputs, n
 
+        def drain(writer, dev_preds, inputs, n):
+            preds = np.asarray(dev_preds)[:n]  # [N,4,H,W] f16 (blocks)
             visualisations = self._make_visualisations(inputs["image"], preds) \
                 if self.opt.save_test_visualisations else [None] * n
             for i in range(n):
-                self.dataset.save_result(inputs["idx"][i], preds[i],
-                                         self.savepath, visualisations[i])
+                writer.submit(self.dataset.save_result, inputs["idx"][i],
+                              preds[i], self.savepath, visualisations[i])
+
+        with BackgroundWriter() as writer:
+            pending = None
+            for inputs in tqdm(self.loader, total=len(self.loader)):
+                nxt = submit(inputs)
+                if not overlap:
+                    drain(writer, *nxt)
+                    continue
+                if pending is not None:
+                    drain(writer, *pending)
+                pending = nxt
+            if pending is not None:
+                drain(writer, *pending)
         print("finished testing!")
 
     def _make_visualisations(self, images, preds):

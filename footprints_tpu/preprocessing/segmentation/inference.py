@@ -57,19 +57,31 @@ class Tester:
 
         return forward
 
-    def test(self):
+    def test(self, overlap=True):
+        """Dump ground_seg predictions over train+val (~95k KITTI images —
+        this feeds the whole GT pipeline, so dump rate is a production
+        lever).  `overlap=True` (default) dispatches batch n+1's forward
+        before fetching batch n and queues the per-image saves on a writer
+        thread (same pipeline as eval/inference.py:run; A/B:
+        tools/bench_dump.py).
+        """
         import jax.numpy as jnp
+
+        from ...data.loader import BackgroundWriter
 
         print("running inference...")
         bs = self.opt.batch_size
-        for inputs in self.loader:
+
+        def submit(inputs):
             images = inputs["image"]
             n = images.shape[0]
             if n < bs:
                 pad = np.zeros((bs - n,) + images.shape[1:], images.dtype)
                 images = np.concatenate([images, pad])
-            preds = np.asarray(self._forward(jnp.asarray(images))[:n])
+            return self._forward(jnp.asarray(images)), inputs, n
 
+        def drain(writer, dev_preds, inputs, n):
+            preds = np.asarray(dev_preds)[:n]
             for i in range(n):
                 viz = None
                 if self.opt.save_test_visualisations:
@@ -80,6 +92,19 @@ class Tester:
                         [inputs["image"][i],
                          cm(preds[i].astype(np.float32))[..., :3]], axis=1)
                 # saved shape [1,H,W] matches the reference artifact
-                self.dataset.save_result(inputs["idx"][i], preds[i][None],
-                                         self.save_path, viz)
+                writer.submit(self.dataset.save_result, inputs["idx"][i],
+                              preds[i][None], self.save_path, viz)
+
+        with BackgroundWriter() as writer:
+            pending = None
+            for inputs in self.loader:
+                nxt = submit(inputs)
+                if not overlap:
+                    drain(writer, *nxt)
+                    continue
+                if pending is not None:
+                    drain(writer, *pending)
+                pending = nxt
+            if pending is not None:
+                drain(writer, *pending)
         print("finished testing!")

@@ -225,8 +225,9 @@ class Trainer:
         # compact wire bytes, then decode to f32 on device in a separate
         # dispatch — the train step's compiled graph never sees uint8
         # (same design + rationale as train/trainer.py:_put)
-        return decompact_on_device(
-            shard_batch(self.mesh, self._compactor(host_batch)))
+        compact = self._compactor(host_batch)
+        return decompact_on_device(shard_batch(self.mesh, compact),
+                                   self._compactor.scheme)
 
     def run_epoch(self):
         device_iter = DevicePrefetcher(

@@ -262,9 +262,12 @@ class TrainManager:
 
     def _put(self, host_batch):
         # compact wire bytes, then decode to f32 on device in a separate
-        # dispatch — the train step's compiled graph never sees uint8
-        return decompact_on_device(
-            shard_batch(self.mesh, self._compactor(host_batch)))
+        # dispatch — the train step's compiled graph never sees uint8.
+        # The decode is driven by the compactor's locked scheme (read AFTER
+        # encoding locks it) so passthrough keys keep their native dtypes.
+        compact = self._compactor(host_batch)
+        return decompact_on_device(shard_batch(self.mesh, compact),
+                                   self._compactor.scheme)
 
     def _log(self, writer, batch, losses):
         if writer is None:

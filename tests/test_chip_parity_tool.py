@@ -45,3 +45,22 @@ def test_check_grads_selftest(tool, cpu):
 
 def test_check_seg_grads_selftest(tool, cpu):
     assert tool.check_seg_grads(cpu, height=32, width=64)
+
+
+def test_check_gt_selftest(tool, cpu):
+    assert tool.check_gt(cpu, frames=10, height=48, width=64, time_it=False)
+
+
+def test_check_gt_compare_rejects_row_corruption(tool):
+    """The count-gate must still catch the r2 miscompile class: a whole
+    border row systematically wrong."""
+    import numpy as np
+
+    a = np.random.RandomState(0).rand(48, 64).astype(np.float32)
+    b = a.copy()
+    b[0] += 1.0  # corrupt one full row
+    assert not tool._compare_gt("selftest-row", a, b)
+    # but scattered single-pixel flips (floor-boundary noise) pass
+    c = a.copy()
+    c[5, 7] += 1.0
+    assert tool._compare_gt("selftest-flip", a, c)

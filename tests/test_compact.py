@@ -104,6 +104,110 @@ def test_locked_scheme_verify_always_raises_on_contract_break():
         compactor(bad_img)
 
 
+def test_default_verify_catches_lossy_later_batch():
+    """The guard must be LIVE after the locking batch (r4 verdict weak #2):
+    a later batch violating the locked contract raises instead of silently
+    quantizing into the training data."""
+    batch, _ = realistic_batch()
+    compactor = BatchCompactor("exact")  # default verify='strided'
+    compactor(batch)  # locks the scheme with the full proof
+    # broad corruption (every element off): the per-batch strided
+    # spot-check must catch it immediately
+    bad = dict(batch, depth_mask=batch["depth_mask"] + np.float32(0.5))
+    with pytest.raises(ValueError, match="no longer integral"):
+        compactor(bad)
+    compactor2 = BatchCompactor("exact")
+    compactor2(batch)
+    bad_img = dict(batch, image=batch["image"] * np.float32(0.731))
+    with pytest.raises(ValueError, match="no longer exactly uint8/255"):
+        compactor2(bad_img)
+
+
+def test_strided_full_reproof_catches_single_element():
+    """A single corrupted element can dodge the strided subsample, but the
+    periodic full proof must catch it within FULL_VERIFY_EVERY batches."""
+    from footprints_tpu.data import compact as compact_mod
+
+    batch, _ = realistic_batch()
+    compactor = BatchCompactor("exact")
+    compactor(batch)
+    bad_mask = batch["depth_mask"].copy()
+    bad_mask[0, 3, 5] = np.float32(0.5)  # off-stride single element
+    bad = dict(batch, depth_mask=bad_mask)
+    assert (bad_mask.reshape(-1)[::compact_mod.SPOT_STRIDE]
+            == batch["depth_mask"].reshape(-1)
+            [::compact_mod.SPOT_STRIDE]).all(), "corruption must dodge spot"
+    with pytest.raises(ValueError, match="no longer integral"):
+        for _ in range(compact_mod.FULL_VERIFY_EVERY + 1):
+            compactor(bad)
+
+
+def test_f16_overflow_never_locked_and_later_overflow_raises():
+    """advisor r4: values > 65504 silently become inf under f16 — the
+    compactor must refuse to lock f16 for such keys and must raise if a
+    locked-f16 key later overflows."""
+    batch, _ = realistic_batch()
+    big = dict(batch, depth=(batch["depth"] + np.float32(1e5)))
+    compact = BatchCompactor("f16")(big)
+    assert compact["depth"].dtype == np.float32  # passthrough, not inf
+    assert np.isfinite(compact["depth"]).all()
+
+    compactor = BatchCompactor("f16")
+    compactor(batch)  # locks depth -> f16 (values <= 80)
+    overflow = dict(batch, depth=np.full_like(batch["depth"], 7e4))
+    with pytest.raises(ValueError, match="exceeds float16 range"):
+        compactor(overflow)
+
+
+def test_scheme_driven_decode_preserves_native_dtypes():
+    """advisor r4: dtype-driven decode silently upcasts keys that natively
+    arrive as uint8/f16; the scheme-driven decode must leave them alone."""
+    batch = {
+        "image": (RNG.randint(0, 256, (2, 8, 8, 3)).astype(np.uint8)
+                  .astype(np.float32) / np.float32(255.0)),
+        "label_ids": RNG.randint(0, 7, (2, 8, 8)).astype(np.uint8),
+        "half_src": RNG.rand(2, 8, 8).astype(np.float16),
+    }
+    compactor = BatchCompactor("exact")
+    compact = compactor(batch)
+    scheme = compactor.scheme
+    assert scheme["image"] == "u8_image"
+    assert scheme["label_ids"] is None and scheme["half_src"] is None
+    out = decompact_batch({k: jnp.asarray(v) for k, v in compact.items()},
+                          scheme)
+    assert out["label_ids"].dtype == jnp.uint8  # NOT upcast
+    assert out["half_src"].dtype == jnp.float16
+    np.testing.assert_array_equal(np.asarray(out["image"]), batch["image"])
+    # host twin honors the scheme the same way
+    host = decompact_batch_np(compact, scheme)
+    assert host["label_ids"].dtype == np.uint8
+    assert host["half_src"].dtype == np.float16
+
+
+def test_mesh_sharded_put_path_decode_bitwise_and_sharded():
+    """advisor r4: the production multi-chip put path (compact ->
+    shard_batch over the mesh -> decompact_on_device) was only ever tested
+    single-device.  On the 8-device CPU mesh the decode must be bitwise AND
+    keep the batch-axis sharding."""
+    from footprints_tpu.parallel import make_mesh, shard_batch
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    batch, _ = realistic_batch(n=2 * n_dev)
+    compactor = BatchCompactor("exact")
+    compact = compactor(batch)
+    sharded = shard_batch(mesh, {k: jnp.asarray(v)
+                                 for k, v in compact.items()})
+    decoded = decompact_on_device(sharded, compactor.scheme)
+    for k in batch:
+        assert decoded[k].dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(decoded[k]), batch[k])
+        # batch axis still sharded over every device (not pulled together)
+        assert len(decoded[k].sharding.device_set) == n_dev, k
+        shard_rows = {s.data.shape[0] for s in decoded[k].addressable_shards}
+        assert shard_rows == {2}, (k, shard_rows)
+
+
 def test_put_path_decode_is_bitwise():
     """The trainer's put path (compact -> device -> decompact_on_device)
     must reproduce the raw f32 batch bitwise for every key."""

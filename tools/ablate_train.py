@@ -71,7 +71,6 @@ def main():
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 12
 
     import jax
-    import jax.numpy as jnp
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/fp_jax_cache")
@@ -83,15 +82,27 @@ def main():
     # through jit(compiler_options=...) — the tunnel's remote compiler
     # validates and applies these, while TPU flags in XLA_FLAGS are
     # rejected by the local (CPU-client) flag parser and fatal.  Patches
-    # jax.jit process-wide so build_train_step's internal jit sees them
-    # too; diagnostic tool only.
+    # jax.jit so build_train_step's internal jit sees them too, but scoped
+    # with try/finally so the override cannot leak beyond the ablation
+    # (advisor r4: the process-wide patch was never undone).
     opts = os.environ.get("FOOTPRINTS_XLA_OPTS", "")
+    jit_orig = None
     if opts:
         co = dict(kv.split("=", 1) for kv in opts.split(",") if kv)
         print(f"compiler_options: {co}", flush=True)
-        _jit = jax.jit
-        jax.jit = lambda *a, **k: _jit(
+        jit_orig = jax.jit
+        jax.jit = lambda *a, **k: jit_orig(
             *a, compiler_options={**co, **k.pop("compiler_options", {})}, **k)
+    try:
+        _run(config, batch)
+    finally:
+        if jit_orig is not None:
+            jax.jit = jit_orig
+
+
+def _run(config, batch):
+    import jax
+    import jax.numpy as jnp
 
     from footprints_tpu.models import FootprintNetwork
     from footprints_tpu.nn import layers, blocks

@@ -13,6 +13,7 @@ guard.  Run it on the real chip after touching any op in the compute path:
     python tools/chip_parity.py --ops      # per-op checks at model shapes
     python tools/chip_parity.py --grads    # train backwards (footprint+seg)
     python tools/chip_parity.py --seg --grads   # seg backward only
+    python tools/chip_parity.py --gt      # GT-generation graphs (pipeline B)
 
 Probes are tiny (border rows + on-device checksums) because device->host
 fetches through the tunnel run at ~KB-MB/s (.claude/skills/verify/SKILL.md).
@@ -449,6 +450,192 @@ def check_seg_grads(cpu, height=192, width=640, compute_dtype=None,
         layers.set_default_precision(old_precision)
 
 
+def _gt_scene(frames, height, width, seed=0):
+    """Synthetic-but-realistic GT-generation inputs (host-side numpy).
+
+    A flat ground plane 1.65 m below a KITTI-like camera, viewed from
+    `frames` neighbor poses (forward translations up to +-5 m, ~1 deg
+    rotations), with the last 6 frames zero-depth (the static-padding path).
+    Plane depths keep the splat dense (many duplicate pixel targets per
+    output pixel), which is exactly the sort/scatter/median machinery the
+    probe must exercise.
+    """
+    rng = np.random.RandomState(seed)
+    K = np.array([[0.58 * width, 0, 0.5 * width, 0],
+                  [0, 1.92 * height, 0.5 * height, 0],
+                  [0, 0, 1, 0], [0, 0, 0, 1]], np.float64)
+    invK = np.linalg.pinv(K)
+    u, v = np.meshgrid(np.arange(width), np.arange(height))
+    rays = invK[:3, :3] @ np.stack(
+        [u.ravel(), v.ravel(), np.ones(u.size)])  # [3, P]
+    ry = rays[1]  # y points down; ground plane at y = +1.65
+    plane_d = np.where(ry > 0.05, 1.65 / np.maximum(ry, 0.05), 0.0)
+    plane_d = np.clip(plane_d, 0.0, 80.0).reshape(height, width)
+
+    def rodrigues(w):
+        th = np.linalg.norm(w)
+        if th < 1e-12:
+            return np.eye(3)
+        k = w / th
+        km = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+        return np.eye(3) + np.sin(th) * km + (1 - np.cos(th)) * (km @ km)
+
+    depths = np.zeros((frames, height, width), np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32)[None], (frames, 1, 1))
+    n_live = max(frames - 6, 1)
+    for i in range(n_live):
+        noise = 1.0 + 0.01 * rng.randn(height, width)
+        depths[i] = (plane_d * noise * (plane_d > 0)).astype(np.float32)
+        R = rodrigues(rng.randn(3) * 0.02)
+        t = np.array([rng.randn() * 0.3, rng.randn() * 0.05,
+                      rng.uniform(-5.0, 5.0)])
+        P = np.eye(4)
+        P[:3, :3], P[:3, 3] = R, t
+        poses[i] = P.astype(np.float32)
+    Ks = np.tile(K.astype(np.float32)[None], (frames, 1, 1))
+    invKs = np.tile(invK.astype(np.float32)[None], (frames, 1, 1))
+    return depths, poses, Ks, invKs, plane_d.astype(np.float32)
+
+
+def _compare_gt(name, a, b, bitwise=False, max_frac=0.005):
+    """Count-based comparison for splat-family outputs.
+
+    fp noise between backends can flip a floor() pixel index for
+    projections within ~1e-4 px of a pixel boundary, moving single depths
+    between neighboring bins — so scattered single-pixel differences are
+    expected and benign.  The r2 miscompile class is structural (whole
+    border rows wrong), so the gates are: overall mismatch fraction below
+    `max_frac`, and no single row more than half mismatched.
+    """
+    a = np.asarray(a)
+    b = np.asarray(b)
+    if a.dtype == bool:
+        diff = a != b
+    else:
+        diff = np.abs(a.astype(np.float64) - b.astype(np.float64)) > (
+            1e-3 * np.maximum(1.0, np.abs(b.astype(np.float64))))
+    frac = float(diff.mean())
+    row_frac = float(diff.mean(axis=-1).max())
+    border = diff[..., :3, :].mean() + diff[..., -3:, :].mean()
+    lim = 0.0 if bitwise else max_frac
+    ok = frac <= lim and row_frac <= 0.5
+    print(f"  {'ok  ' if ok else 'FAIL'} {name}: mismatch frac={frac:.2e} "
+          f"(gate {lim:g}), worst-row={row_frac:.3f}, border={border:.2e}")
+    return ok
+
+
+def check_gt(cpu, frames=76, height=192, width=640, time_it=True):
+    """On-chip parity for the GT-generation device graphs (pipeline B).
+
+    The only compiled-graph family previously without chip coverage — and
+    it is built from exactly the op classes adjacent to the r2 chip-only
+    miscompile: two-key jax.lax.sort, a unique-index scatter-set riding a
+    mode="drop" sentinel (geometry.py:104-115), take_along_axis medians,
+    and RANSAC's Gumbel-argmax.  Its output IS the training data, so a
+    silent miscompile here propagates into every trained model.
+
+    Probes (real KITTI window shape 76x192x640 by default):
+      * aggregate_hidden_depth, robust and non-robust
+        (reference flow: ground_truth_generator.py:124-142)
+      * compute_depth_mask: RANSAC plane + 8x8 splat + agreement mask
+        (reference: ground_truth_generator.py:70-122)
+      * compute_moving_object_mask: induced-vs-observed flow, 3 px
+        threshold (reference: ground_truth_generator.py:283-318) — flow is
+        constructed with a 0.5 px margin off the threshold, so this one
+        must be BITWISE equal across backends.
+    """
+    import time as _time
+
+    from footprints_tpu.preprocessing.ground_truth_generation.geometry import (
+        aggregate_hidden_depth)
+    from footprints_tpu.preprocessing.ground_truth_generation.processing import (
+        compute_depth_mask, compute_moving_object_mask)
+
+    depths, poses, Ks, invKs, plane_d = _gt_scene(frames, height, width)
+    ok = True
+
+    for robust in (True, False):
+        fn = lambda d, p, k, ik: aggregate_hidden_depth(
+            d, p, k, ik, height=height, width=width, robust=robust)
+        a = np.asarray(jax.jit(fn)(depths, poses, Ks, invKs))
+        args_cpu = jax.device_put((depths, poses, Ks, invKs), cpu)
+        b = np.asarray(jax.jit(lambda d, p, k, ik: fn(d, p, k, ik),
+                               device=cpu)(*args_cpu))
+        ok &= _compare_gt(
+            f"gt hidden_depth {frames}x{height}x{width} robust={robust}",
+            a, b)
+
+    # depth mask: plane pixels (clear inliers, <1e-3 m off the fitted
+    # plane) + object pixels at 0.7x plane depth (>=0.3 m off it) so the
+    # RANSAC inlier sets — and therefore the integer argmax — are identical
+    # across backends; remaining splat-boundary flips ride the count gate.
+    rng = np.random.RandomState(1)
+    ground_seg = np.where(plane_d > 0, 0.9, 0.1).astype(np.float32)
+    objects = (rng.rand(height, width) < 0.15) & (plane_d > 0)
+    ground_seg[objects] = 0.1
+    dm_depth = np.where(objects, plane_d * 0.7, plane_d).astype(np.float32)
+    key = jax.random.PRNGKey(10)
+    dm_fn = lambda key, d, g, k, ik: compute_depth_mask(
+        key, d, g, k, ik, height=height, width=width)
+    a = np.asarray(jax.jit(dm_fn)(key, dm_depth, ground_seg, Ks[0], invKs[0]))
+    args_cpu = jax.device_put((key, dm_depth, ground_seg, Ks[0], invKs[0]), cpu)
+    b = np.asarray(jax.jit(lambda *t: dm_fn(*t), device=cpu)(*args_cpu))
+    ok &= _compare_gt(f"gt depth_mask {height}x{width}", a, b)
+
+    # moving objects: observed flow = (f64 host-computed induced flow) +
+    # delta, |delta| in {1 px, 6 px} — every pixel is >=0.5 px from the
+    # 3 px threshold, so any chip/CPU disagreement is a real backend bug.
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = (0.2, 0.02, 1.5)
+    u, v = np.meshgrid(np.arange(width, dtype=np.float64),
+                       np.arange(height, dtype=np.float64))
+    K64, invK64 = Ks[0].astype(np.float64), invKs[0].astype(np.float64)
+    pts = invK64[:3, :3] @ np.stack([u.ravel(), v.ravel(), np.ones(u.size)])
+    world = pts * plane_d.astype(np.float64).ravel()
+    wh = np.concatenate([world, np.ones((1, world.shape[1]))])
+    cam = K64 @ (T.astype(np.float64) @ wh)
+    z = cam[2] + 1e-7
+    induced = np.stack([cam[0] / z - u.ravel(), cam[1] / z - v.ravel()])
+    moving_sel = rng.rand(height, width) > 0.7
+    delta_mag = np.where(moving_sel, 6.0, 1.0).ravel()
+    theta = rng.rand(u.size) * 2 * np.pi
+    flow = (induced + delta_mag * np.stack([np.cos(theta), np.sin(theta)])
+            ).reshape(2, height, width).astype(np.float32)
+    mo_fn = lambda d, t, k, ik, f: compute_moving_object_mask(
+        d, t, k, ik, f, height=height, width=width)
+    a = np.asarray(jax.jit(mo_fn)(plane_d, T, Ks[0], invKs[0], flow))
+    args_cpu = jax.device_put((plane_d, T, Ks[0], invKs[0], flow), cpu)
+    b = np.asarray(jax.jit(lambda *t: mo_fn(*t), device=cpu)(*args_cpu))
+    ok &= _compare_gt(f"gt moving_objects {height}x{width}", a, b,
+                      bitwise=True)
+
+    if time_it:
+        # on-chip ms/frame of the hidden-depth aggregation (fori_loop slope
+        # — same methodology as bench.py; PERF.md quotes ~85 ms/frame)
+        @jax.jit
+        def chain(d, n):
+            def body(_, c):
+                r = aggregate_hidden_depth(c, poses, Ks, invKs,
+                                           height=height, width=width,
+                                           robust=True)
+                return c * (1.0 + 1e-7 * jnp.mean(r))
+
+            c = jax.lax.fori_loop(0, n, body, d)
+            return jnp.sum(c[0, 0])
+
+        def run(n):
+            t0 = _time.perf_counter()
+            np.asarray(chain(depths, jnp.int32(n)))
+            return _time.perf_counter() - t0
+
+        run(1)
+        lo = run(2)
+        hi = run(14)
+        print(f"  aggregate_hidden_depth: {(hi - lo) / 12 * 1e3:.1f} "
+              f"ms/frame on {jax.devices()[0].platform}")
+    return ok
+
+
 def check_compact(height=96, width=160):
     """Compact transport + separate-dispatch device decode vs raw f32,
     ON THE EXECUTING DEVICE, asserted BITWISE.
@@ -522,6 +709,8 @@ def main():
                     help="segmentation network checks only")
     ap.add_argument("--compact", action="store_true",
                     help="compact-batch vs raw-f32 train step, on-device")
+    ap.add_argument("--gt", action="store_true",
+                    help="GT-generation graphs (splat/RANSAC/flow) only")
     ap.add_argument("--resolutions", default="192x640",
                     help="comma list, e.g. 192x640,512x640,256x448")
     args = ap.parse_args()
@@ -541,7 +730,9 @@ def main():
         print("WARNING: default device is CPU — this run checks nothing.")
 
     ok = True
-    if args.compact:
+    if args.gt:
+        ok &= check_gt(cpu)
+    elif args.compact:
         ok &= check_compact()
     elif args.ops:
         ok &= check_ops(cpu)
