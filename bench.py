@@ -93,11 +93,13 @@ def bench_jax(precision: str, batch: int):
     return batch / sec, sec
 
 
-def bench_train(batch=12, height=H, width=W, n_hi=25):
+def bench_train(batch=12, height=H, width=W, n_hi=25, s2d_head=False):
     """Mixed-precision training-step throughput (imgs/s) on one chip.
 
     Defaults bench the KITTI recipe (192x640 batch 12); the matterport
-    recipe is 512x640 batch 8 (reference README.md:140)."""
+    recipe is 512x640 batch 8 (reference README.md:140).  s2d_head=True
+    benches the s2d-basis '1/1' loss variant with put-path-packed targets
+    (train/step.py TrainStepConfig.s2d_head)."""
     import jax
     import jax.numpy as jnp
 
@@ -117,7 +119,11 @@ def bench_train(batch=12, height=H, width=W, n_hi=25):
         "ground_depth": rng.rand(batch, height, width) * 15,
         "depth_mask": rng.rand(batch, height, width) > 0.6,
         "moving_object_mask": np.zeros((batch, height, width))}.items()}
-    cfg = TrainStepConfig(steps_per_epoch=1000, compute_dtype="bfloat16")
+    if s2d_head:  # pack the targets off-step, as the trainer's put path does
+        from footprints_tpu.data.compact import decompact_on_device
+        b = decompact_on_device(b, None, tuple(k for k in b if k != "image"))
+    cfg = TrainStepConfig(steps_per_epoch=1000, compute_dtype="bfloat16",
+                          s2d_head=s2d_head)
     ts = init_train_state(net, jax.random.PRNGKey(0), cfg)
     raw_step = build_train_step(net, cfg, mesh=False)  # unjitted
 
@@ -280,11 +286,13 @@ def main():
     imgs_sec_bf16, _ = bench_jax("default", BATCH)
     imgs_sec_f32, _ = bench_jax("highest", BATCH)
     _, lat1_bf16 = bench_jax("default", 1)
-    train_imgs_sec = bench_train()
+    # the production trainer defaults to the s2d-basis '1/1' head under
+    # mixed precision (r5, +1.2% measured; train/step.py) — bench it
+    train_imgs_sec = bench_train(s2d_head=True)
     # recipe variant: batch 16 fills all sublanes (see README training note);
     # best-effort — never let the extra compile sink the headline numbers
     try:
-        train_imgs_sec_b16 = bench_train(16)
+        train_imgs_sec_b16 = bench_train(16, s2d_head=True)
     except Exception as e:
         import sys
 
@@ -300,7 +308,8 @@ def main():
     # — BASELINE config #5's per-chip train number; the step is ~3x the
     # KITTI one, so a shorter fori window keeps the device time ~2 s
     try:
-        mp_train_imgs_sec = bench_train(8, height=512, width=640, n_hi=13)
+        mp_train_imgs_sec = bench_train(8, height=512, width=640, n_hi=13,
+                                        s2d_head=True)
     except Exception as e:
         print(f"bench_train(matterport) failed: {e!r}", file=sys.stderr,
               flush=True)

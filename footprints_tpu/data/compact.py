@@ -18,7 +18,13 @@ Exactness contract:
     Verified on the chip backend by tools/chip_parity.py --ops (u8_decode).
   * binary/integral maps: uint8 transport is exact by construction; the
     compactor proves exactness on the batch it inspects (see `verify`).
-  * 'f16' mode: depth/ground_depth lose ~1e-3 relative — measurably
+  * 'f16x' (lossless f16): a non-integral f32 map whose locking batch
+    proves every value exactly float16-representable ships as f16 and
+    decodes BITWISE — e.g. the matterport hidden_depth, which originates
+    in f16 .npy files and only passes through NEAREST resize / sentinel
+    zeroing / clipping (data/matterport.py).  Available in 'exact' mode
+    because it is lossless; guarded per batch like the u8 tiers.
+  * 'f16' mode: remaining f32 depth maps lose ~1e-3 relative — measurably
     nothing for training (the f16 source files quantized harder), but NOT
     bitwise, so it is opt-in and off in parity tests.  Keys whose values
     would overflow float16 (|x| > 65504 -> inf) are never locked to f16;
@@ -70,14 +76,27 @@ def _f16_safe(a):
     return bool(np.max(np.abs(a), initial=0.0) <= F16_MAX)
 
 
+def _f16_exact(a):
+    """float16 encoding of an f32 array whose values are all exactly
+    f16-representable, or None.  Holds for maps that originate in float16
+    .npy files and only pass through value-preserving ops (NEAREST resize,
+    sentinel zeroing, clipping) — e.g. the matterport hidden_depth
+    (data/matterport.py); KITTI's hidden_depths go through INTER_AREA
+    averaging and legitimately stay f32."""
+    f16 = a.astype(np.float16)
+    if (f16.astype(np.float32) == a).all():
+        return f16
+    return None
+
+
 class BatchCompactor:
     """Callable batch -> compact batch; locks its per-key scheme on the
     first batch it sees.  mode: 'none' | 'exact' | 'f16';
     verify: 'strided' (default) | 'always' | 'first'.
 
     The locked scheme is exposed as `.scheme` (key -> 'u8_image' | 'u8' |
-    'f16' | None) so the device decode can be driven by it instead of
-    inferring encodings from dtypes (see decompact_batch)."""
+    'f16x' | 'f16' | None) so the device decode can be driven by it instead
+    of inferring encodings from dtypes (see decompact_batch)."""
 
     def __init__(self, mode="exact", verify="strided"):
         if mode not in ("none", "exact", "f16"):
@@ -86,8 +105,8 @@ class BatchCompactor:
             raise ValueError(f"verify={verify!r}: one of strided/first/always")
         self.mode = mode
         self.verify = verify
-        # key -> 'u8_image' | 'u8' | 'f16' | None; locked per key on first
-        # sight (train/val batches may carry different key sets)
+        # key -> 'u8_image' | 'u8' | 'f16x' | 'f16' | None; locked per key
+        # on first sight (train/val batches may carry different key sets)
         self._scheme = {}
         self._seen = {}  # key -> batches encoded since lock
 
@@ -104,6 +123,11 @@ class BatchCompactor:
                     enc = "u8_image"
             elif _u8_map_exact(a) is not None:
                 enc = "u8"
+            elif _f16_exact(a) is not None:
+                # bitwise-lossless f16 transport: available even in 'exact'
+                # mode because the locking batch PROVED representability
+                # (and every later batch is guarded like the u8 tiers)
+                enc = "f16x"
             elif self.mode == "f16" and _f16_safe(a):
                 enc = "f16"
         self._scheme[key] = enc
@@ -161,6 +185,22 @@ class BatchCompactor:
                         f"batch[{key!r}] is no longer integral uint8; "
                         "the locked 'exact' compaction would be lossy")
                 out[key] = u8
+            elif enc == "f16x":
+                if level == "full":
+                    f16 = _f16_exact(a)
+                else:
+                    f16 = a.astype(np.float16)
+                    if level == "spot" and not (
+                        f16.reshape(-1)[::SPOT_STRIDE].astype(np.float32)
+                        == a.reshape(-1)[::SPOT_STRIDE]
+                    ).all():
+                        f16 = None
+                if f16 is None:
+                    raise ValueError(
+                        f"batch[{key!r}] is no longer exactly "
+                        "float16-representable; the locked lossless 'f16x' "
+                        "compaction would quantize")
+                out[key] = f16
             elif enc == "f16":
                 if level is not None:
                     sample = (a if level == "full"
@@ -185,7 +225,7 @@ def decompact_batch_np(batch, scheme=None):
             else "f16" if a.dtype == np.float16 else None)
         if enc == "u8_image":
             out[key] = a.astype(np.float32) / np.float32(255.0)
-        elif enc in ("u8", "f16"):
+        elif enc in ("u8", "f16", "f16x"):
             out[key] = a.astype(np.float32)
         else:
             out[key] = a
@@ -201,7 +241,7 @@ def decompact_batch_np(batch, scheme=None):
 _IMAGE_LUT = np.arange(256, dtype=np.float32) / np.float32(255.0)
 
 
-def decompact_batch(batch, scheme=None):
+def decompact_batch(batch, scheme=None, s2d_keys=()):
     """Device-side inverse (a no-op on plain f32 batches).
 
     With `scheme` (a BatchCompactor.scheme dict) the decode is driven by
@@ -213,6 +253,11 @@ def decompact_batch(batch, scheme=None):
 
     The uint8 image decodes through _IMAGE_LUT, bitwise-equal to the host
     f32(u8)/255.0 (exhaustively chip-checked: tools/chip_parity.py --ops).
+
+    `s2d_keys`: decoded [N,H,W] target maps to ALSO emit space-to-depth
+    packed as '<key>@s2d' [N,H/2,W/2,4] (phase (a,b) at channel 2a+b) —
+    consumed by the s2d-basis '1/1' loss (train/losses.py).  Packing here
+    keeps the relayout in the put-path dispatch, off the train step.
     """
     import jax.numpy as jnp
 
@@ -224,17 +269,23 @@ def decompact_batch(batch, scheme=None):
             else "f16" if val.dtype == jnp.float16 else None)
         if enc == "u8_image":
             out[key] = jnp.asarray(_IMAGE_LUT)[val.astype(jnp.int32)]
-        elif enc in ("u8", "f16"):
+        elif enc in ("u8", "f16", "f16x"):
             out[key] = val.astype(jnp.float32)
         else:
             out[key] = val
+    for key in s2d_keys:
+        if key in out:
+            t = out[key]
+            n, h, w = t.shape
+            out[key + "@s2d"] = t.reshape(n, h // 2, 2, w // 2, 2).transpose(
+                0, 1, 3, 2, 4).reshape(n, h // 2, w // 2, 4)
     return out
 
 
 _decompact_jits = {}
 
 
-def decompact_on_device(batch, scheme=None):
+def decompact_on_device(batch, scheme=None, s2d_keys=()):
     """Jitted decode as its OWN dispatch — deliberately NOT traced into the
     train/eval steps.
 
@@ -251,16 +302,19 @@ def decompact_on_device(batch, scheme=None):
     (asserted: tools/chip_parity.py --compact).  The extra HBM round-trip
     of the decoded batch is ~0.1 ms against a ~65 ms step.
 
-    One jitted decode is cached per distinct scheme (the scheme can grow
-    once when val-only keys first lock — one extra trivial retrace).
+    One jitted decode is cached per distinct (scheme, s2d_keys) — the
+    scheme can grow once when val-only keys first lock (one extra trivial
+    retrace).
     """
-    key = None if scheme is None else tuple(sorted(scheme.items(),
-                                                   key=lambda kv: kv[0]))
+    skey = None if scheme is None else tuple(sorted(scheme.items(),
+                                                    key=lambda kv: kv[0]))
+    key = (skey, tuple(s2d_keys))
     fn = _decompact_jits.get(key)
     if fn is None:
         import jax
 
         frozen = None if scheme is None else dict(scheme)
-        fn = jax.jit(lambda b: decompact_batch(b, frozen))
+        frozen_s2d = tuple(s2d_keys)
+        fn = jax.jit(lambda b: decompact_batch(b, frozen, frozen_s2d))
         _decompact_jits[key] = fn
     return fn(batch)

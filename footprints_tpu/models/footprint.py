@@ -53,8 +53,14 @@ def init_skip_decoder(key, enc_channels, out_ch=2):
     return params, state
 
 
-def skip_decoder_apply(params, state, features, *, apply_sigmoid, train=False):
-    """Returns ({'1/8','1/4','1/2','1/1'}: full-res NHWC maps, new_state)."""
+def skip_decoder_apply(params, state, features, *, apply_sigmoid, train=False,
+                       s2d_head=False):
+    """Returns ({'1/8','1/4','1/2','1/1'}: full-res NHWC maps, new_state).
+
+    s2d_head=True replaces the '1/1' key with '1/1_s2d': the native-scale
+    head left in channel-major s2d layout [N,H/2,W/2,4*out_ch] (see
+    nn/blocks.py:decoder_tail) — the training-only fast path scored against
+    s2d-packed targets (train/losses.py)."""
     ns = {}
     outputs = {}
     x = features[-1]
@@ -65,9 +71,11 @@ def skip_decoder_apply(params, state, features, *, apply_sigmoid, train=False):
     outputs["1/4"] = blocks.out_conv_block(params["outconv2"], x, scale=4, apply_sigmoid=apply_sigmoid)
     x, ns["block4"] = blocks.up_concat_block(params["block4"], state["block4"], x, features[-5], train=train)
     outputs["1/2"] = blocks.out_conv_block(params["outconv3"], x, scale=2, apply_sigmoid=apply_sigmoid)
-    outputs["1/1"], ns["outconv4_conv"] = blocks.decoder_tail(
+    key11 = "1/1_s2d" if s2d_head else "1/1"
+    outputs[key11], ns["outconv4_conv"] = blocks.decoder_tail(
         params["outconv4_conv"], state["outconv4_conv"],
-        params["outconv4_out"], x, apply_sigmoid=apply_sigmoid, train=train
+        params["outconv4_out"], x, apply_sigmoid=apply_sigmoid, train=train,
+        s2d_output=s2d_head,
     )
     return outputs, ns
 
@@ -92,10 +100,14 @@ class FootprintNetwork:
         state = {"encoder": enc_s, "mask_decoder": mask_s, "depth_decoder": depth_s}
         return params, state
 
-    def apply(self, params, state, image, *, train: bool = False):
+    def apply(self, params, state, image, *, train: bool = False,
+              s2d_head: bool = False):
         """image: [N,H,W,3] float in [0,1].  Returns (outputs, new_state).
 
         outputs[scale]: [N,H,W,4] with the ch0..ch3 contract above.
+        With s2d_head=True (training fast path) the '1/1' key becomes
+        '1/1_s2d': [N,H/2,W/2,16], channel-major s2d — lanes 4c..4c+3 hold
+        the 4 spatial phases (row-major (2a+b)) of contract channel c.
         """
         ns = {}
         features, ns["encoder"] = resnet.encoder_apply(
@@ -103,11 +115,11 @@ class FootprintNetwork:
         )
         mask_out, ns["mask_decoder"] = skip_decoder_apply(
             params["mask_decoder"], state["mask_decoder"], features,
-            apply_sigmoid=False, train=train,
+            apply_sigmoid=False, train=train, s2d_head=s2d_head,
         )
         depth_out, ns["depth_decoder"] = skip_decoder_apply(
             params["depth_decoder"], state["depth_decoder"], features,
-            apply_sigmoid=True, train=train,
+            apply_sigmoid=True, train=train, s2d_head=s2d_head,
         )
         outputs = {
             k: jnp.concatenate([mask_out[k], depth_out[k]], axis=-1) for k in mask_out

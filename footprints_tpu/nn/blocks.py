@@ -136,12 +136,19 @@ def up_concat_block(params, state, x, skip, *, use_bn=False, use_elu=True,
 
 
 def decoder_tail(conv_params, conv_state, out_params, x, *, apply_sigmoid,
-                 out_scale=1, use_elu=True, train=False):
+                 out_scale=1, use_elu=True, train=False, s2d_output=False):
     """The decoder tail — nearest_up_2x -> ConvBlock -> OutConvBlock — run
     entirely in space-to-depth layout (full 128-lane channel widths at half
     spatial resolution; see ops/s2d.py).  Only the final 1-2 channel output
     is unpacked to full resolution.  Numerically identical to the naive
     composition up to fp order.
+
+    s2d_output=True leaves the head output IN s2d layout, channel-major
+    ([N,H/2,W/2,4*out_ch], channel o's 4 phases contiguous at lanes
+    o*4..o*4+3) and skips the depth_to_space — the one 58 GB/s tiny-channel
+    relayout of the train step (PERF.md r4 HLO audit).  Pixelwise losses
+    are permutation-invariant, so the s2d-basis loss (train/losses.py)
+    scores this head against s2d-packed targets instead.
 
     BN is NOT supported here (the reference trains decoders with BN off);
     guard against silently skipping normalization if a BN-enabled ConvBlock
@@ -150,6 +157,8 @@ def decoder_tail(conv_params, conv_state, out_params, x, *, apply_sigmoid,
         "decoder_tail does not support BatchNorm ConvBlocks (state must be "
         "empty); use the naive conv_block composition for use_bn=True"
     )
+    assert not (s2d_output and out_scale != 1), \
+        "s2d_output only makes sense for the native-resolution head"
     from ..ops.s2d import depth_to_space, s2d_conv3x3_reflect, up_conv_to_s2d
 
     act = elu if use_elu else relu
@@ -162,9 +171,12 @@ def decoder_tail(conv_params, conv_state, out_params, x, *, apply_sigmoid,
         y = act(up_conv_to_s2d(x, c1["w"], c1["b"]))
         y = act(s2d_conv3x3_reflect(y, c2["w"], c2["b"]))
     oc = out_params["conv1"]
-    y = s2d_conv3x3_reflect(y, oc["w"], oc["b"])
+    y = s2d_conv3x3_reflect(y, oc["w"], oc["b"],
+                            channel_major_out=s2d_output)
     if apply_sigmoid:
         y = sigmoid(y)
+    if s2d_output:
+        return y, dict(conv_state)
     y = depth_to_space(y)
     if out_scale != 1:
         y = upsample_bilinear(y, out_scale)

@@ -161,13 +161,20 @@ def _s2d_selector():
 _S2D_T = _s2d_selector()
 
 
-def _s2d_kernel(w):
+def _s2d_kernel(w, channel_major_out=False):
     """[3,3,ci,co] -> [3,3,4ci,4co] s2d conv kernel: tap (dy,dx) of output
     phase (a,b) reads input phase ((a+dy-1)%2,(b+dx-1)%2) at s2d offset
-    (floor((a+dy-1)/2), floor((b+dx-1)/2))."""
+    (floor((a+dy-1)/2), floor((b+dx-1)/2)).
+
+    Output-channel grouping is phase-major ((2a+b)*co + o) by default;
+    channel_major_out=True emits o*4 + (2a+b) instead — a constant
+    permutation of the assembled kernel's output lanes, so it is FREE at
+    conv time.  Channel-major lets a consumer slice "all 4 phases of
+    channel o" as one contiguous lane slice (the s2d-basis 1/1 loss)."""
     ci, co = w.shape[2], w.shape[3]
     t = jnp.asarray(_S2D_T.reshape(3, 3, 4, 4, 3, 3), w.dtype)
-    k = jnp.einsum("pqghyx,yxio->pqgiho", t, w,
+    out_spec = "pqgioh" if channel_major_out else "pqgiho"
+    k = jnp.einsum(f"pqghyx,yxio->{out_spec}", t, w,
                    precision=jax.lax.Precision.HIGHEST)
     return k.reshape(3, 3, 4 * ci, 4 * co)
 
@@ -300,18 +307,19 @@ def _dxp_presliced(cot, kernel, precision):
     return jnp.concatenate([top, mid, bottom], axis=1)  # [N,H+2,W+2,Ci]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _s2d_reflect_conv(x, w, c, precision):
-    return _conv(_s2d_reflect_pad(x, c), _s2d_kernel(w), precision=precision)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _s2d_reflect_conv(x, w, c, precision, channel_major_out=False):
+    return _conv(_s2d_reflect_pad(x, c), _s2d_kernel(w, channel_major_out),
+                 precision=precision)
 
 
-def _s2d_reflect_conv_fwd(x, w, c, precision):
-    return _s2d_reflect_conv(x, w, c, precision), (x, w)
+def _s2d_reflect_conv_fwd(x, w, c, precision, channel_major_out=False):
+    return _s2d_reflect_conv(x, w, c, precision, channel_major_out), (x, w)
 
 
-def _s2d_reflect_conv_bwd(c, precision, res, cot):
+def _s2d_reflect_conv_bwd(c, precision, channel_major_out, res, cot):
     x, w = res
-    kernel = _s2d_kernel(w)
+    kernel = _s2d_kernel(w, channel_major_out)
     dxp = _dxp_presliced(cot, kernel, precision)
     (dx,) = _s2d_reflect_pad_bwd(c, None, dxp)
     # dW: XLA's native wgrad w.r.t. w only (selector transpose included via
@@ -324,7 +332,8 @@ def _s2d_reflect_conv_bwd(c, precision, res, cot):
     # ~5 ms/step in layout copies and the smaller wgrad runs no faster.
     # See PERF.md r4 results; don't re-try without new numbers.
     _, vjp_w = jax.vjp(
-        lambda w: _conv(_s2d_reflect_pad(x, c), _s2d_kernel(w),
+        lambda w: _conv(_s2d_reflect_pad(x, c),
+                        _s2d_kernel(w, channel_major_out),
                         precision=precision), w)
     (dw,) = vjp_w(cot)
     return dx, dw
@@ -357,16 +366,21 @@ def _edge_conv_phase_bwd(precision, res, cot):
 _edge_conv_phase.defvjp(_edge_conv_phase_fwd, _edge_conv_phase_bwd)
 
 
-def s2d_conv3x3_reflect(x, w, b=None, *, precision=None):
+def s2d_conv3x3_reflect(x, w, b=None, *, precision=None,
+                        channel_major_out=False):
     """Full-res conv3x3(reflect_pad(X)) computed in s2d layout.
 
     x [N,H,W,4C] (s2d of [N,2H,2W,C]), w [3,3,C,Co] -> [N,H,W,4Co].
+    Output channel grouping: phase-major by default (matches the s2d input
+    convention); channel_major_out=True groups all 4 phases of each output
+    channel contiguously (see _s2d_kernel) — used by the s2d-basis 1/1 head
+    so loss-term slices are contiguous in lanes.
     """
     if FUSED_DGRAD:
-        y = _s2d_reflect_conv(x, w, w.shape[2], precision)
+        y = _s2d_reflect_conv(x, w, w.shape[2], precision, channel_major_out)
     else:
-        y = _conv(_s2d_reflect_pad(x, w.shape[2]), _s2d_kernel(w),
-                  precision=precision)
+        y = _conv(_s2d_reflect_pad(x, w.shape[2]),
+                  _s2d_kernel(w, channel_major_out), precision=precision)
     if b is not None:
-        y = y + jnp.tile(b, 4)
+        y = y + (jnp.repeat(b, 4) if channel_major_out else jnp.tile(b, 4))
     return y

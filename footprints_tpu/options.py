@@ -71,6 +71,14 @@ class Options:
                             "device (bitwise-lossless, ~58%% fewer bytes); "
                             "'f16' additionally ships depth maps as float16 "
                             "(~1e-3 rel loss, ~69%% fewer); 'none' = raw f32")
+        p.add_argument("--s2d_head", type=str, default="auto",
+                       choices=["auto", "on", "off"],
+                       help="score the native '1/1' scale in s2d basis "
+                            "(train/step.py): the head stays in "
+                            "space-to-depth layout and targets are packed "
+                            "on the put path — fp-summation-order-only "
+                            "deviation.  'auto' enables it with bfloat16 "
+                            "compute (the measured-win config, PERF.md r5)")
         p.add_argument("--debug_nans", action="store_true",
                        help="enable jax NaN checking (recompiles per-op; "
                             "debugging only)")

@@ -76,11 +76,13 @@ class GroundTruthGenerator:
         raise NotImplementedError
 
     def process_data(self, data):
-        result = aggregate_hidden_depth(
+        # returns the DEVICE array (async dispatch): run()'s pipeline
+        # fetches it on the writer thread, overlapped with the next
+        # frame's host-side loads (save_result's np.asarray blocks there)
+        return aggregate_hidden_depth(
             data["depths"], data["poses"], data["intrinsics"],
             data["inv_intrinsics"], height=self.height, width=self.width,
             robust=self.robust_aggregation)
-        return np.asarray(result)
 
     def save_result(self, result, savepath, filename, save_viz=False):
         data_dir = os.path.join(savepath, "data")
@@ -96,15 +98,23 @@ class GroundTruthGenerator:
                        np.asarray(result, np.float32))
 
     def run(self):
+        """Per-frame loop, pipelined: the device aggregation for frame i is
+        dispatched async and its fetch + np.save run on a writer thread
+        while the main thread does frame i+1's host-side loads (reference
+        loop was fully serial: ground_truth_generator.py:144-162)."""
+        from ...data.loader import BackgroundWriter
+
         t0 = time.time()
         print(f"running ground truth generation on {len(self.filenames)} files...")
-        for i, filename in enumerate(self.filenames):
-            if i % 25 == 0 and i:
-                print(f"computing image {i} of {len(self.filenames)}; "
-                      f"avg {(time.time() - t0) / i:.2f}s/image")
-            data = self.load_data(i, filename)
-            result = self.process_data(data)
-            self.save_result_for(result, filename)
+        # max_pending bounds in-flight device buffers awaiting fetch
+        with BackgroundWriter(max_pending=8) as writer:
+            for i, filename in enumerate(self.filenames):
+                if i % 25 == 0 and i:
+                    print(f"computing image {i} of {len(self.filenames)}; "
+                          f"avg {(time.time() - t0) / i:.2f}s/image")
+                data = self.load_data(i, filename)
+                result = self.process_data(data)  # async device dispatch
+                writer.submit(self.save_result_for, result, filename)
 
 
 class KITTIGroundTruthGenerator(GroundTruthGenerator):
@@ -180,7 +190,7 @@ class KITTIMovingObjectDetector(KITTIGroundTruthGenerator):
             depth, T, self.loader.K, self.loader.invK,
             base["flow"].astype(np.float32),
             height=self.height, width=self.width)
-        return np.asarray(mask)
+        return mask  # device array; fetched on the writer thread
 
 
 class KITTIDepthMaskingGenerator(KITTIGroundTruthGenerator):
@@ -206,7 +216,7 @@ class KITTIDepthMaskingGenerator(KITTIGroundTruthGenerator):
             self.next_key(), depth, ground_seg.astype(np.float32),
             self.loader.K, self.loader.invK, height=self.height,
             width=self.width, footprint_threshold=self.footprint_threshold)
-        return np.asarray(mask)
+        return mask  # device array; fetched on the writer thread
 
 
 class MatterportGroundTruthGenerator(GroundTruthGenerator):
@@ -269,7 +279,7 @@ class MatterportDepthMaskingGenerator(MatterportGroundTruthGenerator):
             self.next_key(), data["depth"], data["ground_seg"], data["K"],
             data["invK"], height=self.height, width=self.width,
             footprint_threshold=self.footprint_threshold)
-        return np.asarray(mask)
+        return mask  # device array; fetched on the writer thread
 
 
 def get_options(argv=None):

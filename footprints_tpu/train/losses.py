@@ -57,10 +57,29 @@ def three_class_loss(logits, ground_target, depth_mask, moving_mask, prior_weigh
     return jnp.mean(loss)
 
 
+def s2d_map(t):
+    """[N,H,W] -> [N,H/2,W/2,4] space-to-depth pack of a target map; phase
+    (a,b) at channel 2a+b (matches ops/s2d.py's phase-major convention and
+    the channel-major model head's per-channel phase order)."""
+    n, h, w = t.shape
+    return t.reshape(n, h // 2, 2, w // 2, 2).transpose(
+        0, 1, 3, 2, 4).reshape(n, h // 2, w // 2, 4)
+
+
 def compute_losses(predictions, targets, config: LossConfig = LossConfig()):
     """predictions: {scale: [N,H,W,4]}; targets: dict of [N,H,W] maps.
 
     Returns losses dict with '<term>/<scale>' keys and scalar 'loss'.
+
+    The native scale may arrive as '1/1_s2d' instead of '1/1' (the
+    training fast path, models/footprint.py): [N,H/2,W/2,16] channel-major
+    s2d, contract channel c's 4 phases at lanes 4c..4c+3.  Pixelwise
+    losses are permutation-invariant, so each term is computed against the
+    s2d-packed targets ('<name>@s2d' batch keys produced off-step by the
+    put-path decode, data/compact.py; packed inline as a fallback) — the
+    same numbers as the full-res form up to fp summation order, with the
+    head's 58 GB/s depth_to_space eliminated from the step (PERF.md r5
+    roadmap #2).  Loss keys stay '<term>/1/1'.
     """
     target_depth = targets["depth"]
     valid_depth = (target_depth > 0).astype(jnp.float32)
@@ -71,19 +90,39 @@ def compute_losses(predictions, targets, config: LossConfig = LossConfig()):
     valid_ground_depth = (target_ground_depth > 0).astype(jnp.float32)
     depth_mask = targets["depth_mask"]
 
+    def s2d_target(name):
+        t = targets.get(name + "@s2d")
+        return s2d_map(targets[name]) if t is None else t
+
     losses = {}
     total = 0.0
     for scale_key, output in predictions.items():
         output = output.astype(jnp.float32)
-        l_vis = jnp.mean(bce_with_logits(output[..., 0], target_ground))
+        if scale_key == "1/1_s2d":
+            scale_key = "1/1"
+            t_g = s2d_target("visible_ground")
+            t_ga = s2d_target("all_ground")
+            t_dm = s2d_target("depth_mask")
+            t_mov = 1.0 - s2d_target("moving_object_mask")
+            t_d = s2d_target("depth")
+            t_gd = s2d_target("ground_depth")
+            ch = lambda c: output[..., 4 * c:4 * c + 4]
+            vd = (t_d > 0).astype(jnp.float32)
+            vgd = (t_gd > 0).astype(jnp.float32)
+        else:
+            t_g, t_ga, t_dm, t_mov = (target_ground, target_ground_all,
+                                      depth_mask, moving_mask)
+            t_d, t_gd, vd, vgd = (target_depth, target_ground_depth,
+                                  valid_depth, valid_ground_depth)
+            ch = lambda c: output[..., c]
+        l_vis = jnp.mean(bce_with_logits(ch(0), t_g))
         l_all = three_class_loss(
-            output[..., 1], target_ground_all, depth_mask, moving_mask,
-            config.footprint_prior_weight,
+            ch(1), t_ga, t_dm, t_mov, config.footprint_prior_weight,
         )
-        pred_depth = sigmoid_to_depth(output[..., 2], config.min_depth, config.max_depth)
-        l_depth = supervised_depth_loss(pred_depth, target_depth, valid_depth)
-        pred_gdepth = sigmoid_to_depth(output[..., 3], config.min_depth, config.max_depth)
-        l_gdepth = supervised_depth_loss(pred_gdepth, target_ground_depth, valid_ground_depth)
+        pred_depth = sigmoid_to_depth(ch(2), config.min_depth, config.max_depth)
+        l_depth = supervised_depth_loss(pred_depth, t_d, vd)
+        pred_gdepth = sigmoid_to_depth(ch(3), config.min_depth, config.max_depth)
+        l_gdepth = supervised_depth_loss(pred_gdepth, t_gd, vgd)
 
         losses[f"visible_ground/{scale_key}"] = l_vis
         losses[f"all_ground/{scale_key}"] = l_all

@@ -35,6 +35,12 @@ class TrainStepConfig:
     # stay f32; the forward/backward compute graph runs in bf16 (2-3x step
     # throughput on TPU).  None/'float32' = full f32 (reference parity).
     compute_dtype: str | None = None
+    # score the native '1/1' scale in s2d basis (models/footprint.py
+    # s2d_head): removes the head's tiny-channel depth_to_space from the
+    # step (PERF.md r5 roadmap #2).  fp-summation-order-only deviation;
+    # fastest when the batch carries '<target>@s2d' keys (put-path decode,
+    # data/compact.py) — the loss falls back to in-step packing otherwise.
+    s2d_head: bool = False
 
     def __post_init__(self):
         # loud failure instead of silently training full-f32 at 1/3 speed
@@ -87,6 +93,9 @@ def build_train_step(net, config: TrainStepConfig, mesh=None):
     """
     optimizer = make_optimizer(config)
     mixed = config.compute_dtype in ("bfloat16", "bf16")
+    # only pass the kwarg when enabled: nets that don't implement an s2d
+    # head (e.g. test doubles) keep satisfying the plain apply contract
+    head_kw = {"s2d_head": True} if config.s2d_head else {}
 
     def loss_fn(params, state, batch):
         if mixed:
@@ -98,7 +107,8 @@ def build_train_step(net, config: TrainStepConfig, mesh=None):
             image = batch["image"].astype(jnp.bfloat16)
         else:
             fwd_params, image = params, batch["image"]
-        outputs, new_state = net.apply(fwd_params, state, image, train=True)
+        outputs, new_state = net.apply(fwd_params, state, image, train=True,
+                                       **head_kw)
         losses = compute_losses(outputs, batch, config.loss)
         return losses["loss"], (new_state, losses)
 
@@ -142,6 +152,7 @@ def build_eval_step(net, config: TrainStepConfig, mesh=None):
     as training (comparable train/val curves, bf16 eval throughput); the
     loss itself stays f32 either way (compute_losses upcasts)."""
     mixed = config.compute_dtype in ("bfloat16", "bf16")
+    head_kw = {"s2d_head": True} if config.s2d_head else {}
 
     def eval_fn(params, state, batch):
         if mixed:
@@ -149,7 +160,8 @@ def build_eval_step(net, config: TrainStepConfig, mesh=None):
                 lambda a: a.astype(jnp.bfloat16) if a is not None else None,
                 params)
             batch = dict(batch, image=batch["image"].astype(jnp.bfloat16))
-        outputs, _ = net.apply(params, state, batch["image"], train=False)
+        outputs, _ = net.apply(params, state, batch["image"], train=False,
+                               **head_kw)
         return compute_losses(outputs, batch, config.loss)
 
     if mesh is None:

@@ -99,11 +99,15 @@ class TrainManager:
             max_depth=self.opt.depth_range[1],
             footprint_prior_weight=self.opt.footprint_prior,
         )
+        s2d_opt = getattr(self.opt, "s2d_head", "auto")
+        mixed = getattr(self.opt, "compute_dtype", None) in ("bfloat16", "bf16")
+        self._s2d_head = s2d_opt == "on" or (s2d_opt == "auto" and mixed)
         self.step_config = TrainStepConfig(
             learning_rate=self.opt.lr,
             steps_per_epoch=steps_per_epoch,
             loss=loss_config,
             compute_dtype=getattr(self.opt, "compute_dtype", None),
+            s2d_head=self._s2d_head,
         )
         self.train_step = build_train_step(
             self.model_manager.net, self.step_config, mesh=self.mesh)
@@ -260,14 +264,21 @@ class TrainManager:
 
     # ------------------------------------------------------------------
 
+    # targets the s2d-basis '1/1' loss consumes packed (train/losses.py)
+    _S2D_TARGET_KEYS = ("visible_ground", "all_ground", "depth",
+                        "ground_depth", "depth_mask", "moving_object_mask")
+
     def _put(self, host_batch):
         # compact wire bytes, then decode to f32 on device in a separate
         # dispatch — the train step's compiled graph never sees uint8.
         # The decode is driven by the compactor's locked scheme (read AFTER
         # encoding locks it) so passthrough keys keep their native dtypes.
+        # With the s2d head, the '<k>@s2d' packed targets are built in the
+        # same dispatch — off the train step.
         compact = self._compactor(host_batch)
+        s2d_keys = self._S2D_TARGET_KEYS if self._s2d_head else ()
         return decompact_on_device(shard_batch(self.mesh, compact),
-                                   self._compactor.scheme)
+                                   self._compactor.scheme, s2d_keys)
 
     def _log(self, writer, batch, losses):
         if writer is None:
@@ -278,7 +289,8 @@ class TrainManager:
                 self.train_state["params"], self.train_state["state"],
                 batch["image"])
             outputs = np.asarray(out["1/1"][:4])
-            inputs = {k: np.asarray(v[:4]) for k, v in batch.items()}
+            inputs = {k: np.asarray(v[:4]) for k, v in batch.items()
+                      if not k.endswith("@s2d")}
         log(writer, inputs, outputs, losses, float(np.asarray(self.lr)), self.step)
 
     def _sync_model_manager(self):

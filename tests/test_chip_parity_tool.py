@@ -43,6 +43,10 @@ def test_check_grads_selftest(tool, cpu):
     assert tool.check_grads(cpu, height=32, width=64)
 
 
+def test_check_grads_s2d_head_selftest(tool, cpu):
+    assert tool.check_grads(cpu, height=32, width=64, s2d_head=True)
+
+
 def test_check_seg_grads_selftest(tool, cpu):
     assert tool.check_seg_grads(cpu, height=32, width=64)
 

@@ -184,6 +184,34 @@ def test_scheme_driven_decode_preserves_native_dtypes():
     assert host["half_src"].dtype == np.float16
 
 
+def test_f16x_lossless_tier_in_exact_mode():
+    """A non-integral map whose values are exactly f16-representable (the
+    matterport hidden_depth case: f16 .npy source + NEAREST resize) ships
+    as float16 even in 'exact' mode and round-trips BITWISE."""
+    batch, _ = realistic_batch()
+    f16_src = (batch["ground_depth"].astype(np.float16).astype(np.float32))
+    batch = dict(batch, ground_depth=f16_src)
+    compactor = BatchCompactor("exact")
+    compact = compactor(batch)
+    assert compactor.scheme["ground_depth"] == "f16x"
+    assert compact["ground_depth"].dtype == np.float16
+    assert compact["depth"].dtype == np.float32  # not f16-exact: passthrough
+    decoded = decompact_on_device(
+        {k: jnp.asarray(v) for k, v in compact.items()}, compactor.scheme)
+    np.testing.assert_array_equal(np.asarray(decoded["ground_depth"]),
+                                  f16_src)
+    assert decoded["ground_depth"].dtype == jnp.float32
+
+
+def test_f16x_later_inexact_batch_raises():
+    batch, _ = realistic_batch()
+    f16_src = (batch["ground_depth"].astype(np.float16).astype(np.float32))
+    compactor = BatchCompactor("exact")
+    compactor(dict(batch, ground_depth=f16_src))  # locks f16x
+    with pytest.raises(ValueError, match="float16-representable"):
+        compactor(batch)  # raw f32 values: would quantize
+
+
 def test_mesh_sharded_put_path_decode_bitwise_and_sharded():
     """advisor r4: the production multi-chip put path (compact ->
     shard_batch over the mesh -> decompact_on_device) was only ever tested

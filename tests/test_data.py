@@ -225,3 +225,28 @@ def test_dataloader_early_break_shuts_down():
     it = iter(loader)
     next(it)
     it.close()  # generator close must not hang on worker threads
+
+
+def test_background_writer_runs_thunks_in_order():
+    from footprints_tpu.data.loader import BackgroundWriter
+
+    got = []
+    with BackgroundWriter(max_pending=4) as w:
+        for i in range(32):
+            w.submit(got.append, i)
+    assert got == list(range(32))  # close() flushed everything
+
+
+def test_background_writer_surfaces_thunk_errors():
+    from footprints_tpu.data.loader import BackgroundWriter
+
+    def boom():
+        raise ValueError("disk full")
+
+    w = BackgroundWriter()
+    w.submit(boom)
+    with pytest.raises(ValueError, match="disk full"):
+        # error surfaces on a later submit or on close, whichever first
+        for _ in range(100):
+            w.submit(lambda: None)
+        w.close()

@@ -91,6 +91,41 @@ def test_train_manager_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_manager_s2d_head_mixed_precision(tmp_path):
+    """bfloat16 compute enables the s2d-basis '1/1' head (s2d_head='auto'):
+    the put path must emit '@s2d' packed targets, the step must consume
+    them, and training must stay finite on the 8-device mesh."""
+    from footprints_tpu.options import Options
+    from footprints_tpu.train.trainer import TrainManager
+
+    config = _make_kitti_tree(tmp_path)
+    log_path = str(tmp_path / "logs")
+    opts = Options().parse([
+        "--mode", "train", "--training_dataset", "kitti",
+        "--height", str(H), "--width", str(W),
+        "--batch_size", "8", "--epochs", "1", "--num_workers", "2",
+        "--val_batches", "1", "--log_freq", "1000000",
+        "--config_path", str(config), "--log_path", log_path,
+        "--split_root", str(tmp_path / "splits"),
+        "--encoder_depth", "18", "--model_name", "tiny_s2d",
+        "--compute_dtype", "bfloat16",
+    ])
+    tm = TrainManager(opts)
+    assert tm._s2d_head and tm.step_config.s2d_head
+    # the put path attaches packed targets for every loss target key
+    batch = tm._put(next(iter(tm.train_loader)))
+    for k in tm._S2D_TARGET_KEYS:
+        assert batch[k + "@s2d"].shape == (8, H // 2, W // 2, 4)
+    tm.train()
+    assert tm.step == 1
+
+    import jax
+
+    for leaf in jax.tree.leaves(tm.model_manager.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+@pytest.mark.slow
 def test_train_manager_preemption_checkpoint(tmp_path):
     """SIGTERM mid-training -> resumable checkpoint at the end of the
     in-flight step, no further epochs run."""

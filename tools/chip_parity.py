@@ -233,7 +233,7 @@ def check_ops(cpu):
 
 
 def check_grads(cpu, height=192, width=640, compute_dtype=None,
-                precision=None):
+                precision=None, s2d_head=False):
     """Backward-pass parity: jax.grad of the real training loss on chip vs
     the CPU backend.
 
@@ -300,16 +300,22 @@ def check_grads(cpu, height=192, width=640, compute_dtype=None,
                                > 0.8).astype(jnp.float32),
     }
 
+    if s2d_head:
+        # the production mixed-precision graph packs targets on the put
+        # path (data/compact.py); build them here the same way
+        from footprints_tpu.data.compact import decompact_batch
+        targets = decompact_batch(targets, None, tuple(targets))
+
     def loss_fn(params, x):
         p, xx = params, x
         if compute_dtype is not None:
             p = jax.tree.map(lambda a: a.astype(compute_dtype), p)
             xx = xx.astype(compute_dtype)
-        out, _ = net.apply(p, state, xx, train=True)
+        out, _ = net.apply(p, state, xx, train=True, s2d_head=s2d_head)
         return compute_losses(out, targets, LossConfig())["loss"]
 
     tag = ("f32" if compute_dtype is None else str(compute_dtype.__name__)
-           ) + f"/{precision or 'highest'}"
+           ) + f"/{precision or 'highest'}" + ("/s2d_head" if s2d_head else "")
     try:
         return _grad_parity(f"grads {height}x{width} {tag}", loss_fn, params,
                             x, cpu, compute_dtype, precision)
@@ -669,7 +675,10 @@ def check_compact(height=96, width=160):
         "moving_object_mask": rng.randint(0, 2, (2, height, width)).astype(np.float32),
         "depth_mask": rng.randint(0, 2, (2, height, width)).astype(np.float32),
         "depth": (rng.rand(2, height, width) * 20).astype(np.float32),
-        "ground_depth": (rng.rand(2, height, width) * 15).astype(np.float32),
+        # f16-sourced like the matterport hidden_depth: locks the lossless
+        # 'f16x' tier, so this check also covers its on-chip decode
+        "ground_depth": (rng.rand(2, height, width) * 15).astype(np.float16)
+        .astype(np.float32),
     }
     raw_dev = {k: jnp.asarray(v) for k, v in batch.items()}
     decoded = decompact_on_device(
@@ -743,7 +752,11 @@ def main():
         ok &= check_seg_grads(cpu, 96, 160)
     elif args.grads:
         h, w = (int(v) for v in args.resolutions.split(",")[0].split("x"))
-        # primary: the production mixed-precision train graph
+        # primary: the production mixed-precision train graph (s2d-basis
+        # '1/1' head — the trainer's default under bfloat16, r5)
+        ok &= check_grads(cpu, h, w, compute_dtype=jnp.bfloat16,
+                          precision="default", s2d_head=True)
+        # the standard-head mixed graph (s2d_head=off / bench headline path)
         ok &= check_grads(cpu, h, w, compute_dtype=jnp.bfloat16,
                           precision="default")
         # f32/highest only at a small shape (see the compile-cost note)
