@@ -93,7 +93,8 @@ def bench_jax(precision: str, batch: int):
     return batch / sec, sec
 
 
-def bench_train(batch=12, height=H, width=W, n_hi=25, s2d_head=False):
+def bench_train(batch=12, height=H, width=W, n_hi=25, s2d_head=False,
+                p4_head=False):
     """Mixed-precision training-step throughput (imgs/s) on one chip.
 
     Defaults bench the KITTI recipe (192x640 batch 12); the matterport
@@ -119,11 +120,13 @@ def bench_train(batch=12, height=H, width=W, n_hi=25, s2d_head=False):
         "ground_depth": rng.rand(batch, height, width) * 15,
         "depth_mask": rng.rand(batch, height, width) > 0.6,
         "moving_object_mask": np.zeros((batch, height, width))}.items()}
-    if s2d_head:  # pack the targets off-step, as the trainer's put path does
+    if s2d_head or p4_head:  # pack targets off-step, as the put path does
         from footprints_tpu.data.compact import decompact_on_device
-        b = decompact_on_device(b, None, tuple(k for k in b if k != "image"))
+        tk = tuple(k for k in b if k != "image")
+        b = decompact_on_device(b, None, tk if s2d_head else (),
+                                tk if p4_head else ())
     cfg = TrainStepConfig(steps_per_epoch=1000, compute_dtype="bfloat16",
-                          s2d_head=s2d_head)
+                          s2d_head=s2d_head, p4_head=p4_head)
     ts = init_train_state(net, jax.random.PRNGKey(0), cfg)
     raw_step = build_train_step(net, cfg, mesh=False)  # unjitted
 
@@ -286,13 +289,14 @@ def main():
     imgs_sec_bf16, _ = bench_jax("default", BATCH)
     imgs_sec_f32, _ = bench_jax("highest", BATCH)
     _, lat1_bf16 = bench_jax("default", 1)
-    # the production trainer defaults to the s2d-basis '1/1' head under
-    # mixed precision (r5, +1.2% measured; train/step.py) — bench it
-    train_imgs_sec = bench_train(s2d_head=True)
+    # the production trainer defaults to the s2d-basis '1/1' head and the
+    # period-4 '1/2' head under mixed precision (r5, +1.2% and +6.2%
+    # measured; train/step.py) — bench that config
+    train_imgs_sec = bench_train(s2d_head=True, p4_head=True)
     # recipe variant: batch 16 fills all sublanes (see README training note);
     # best-effort — never let the extra compile sink the headline numbers
     try:
-        train_imgs_sec_b16 = bench_train(16, s2d_head=True)
+        train_imgs_sec_b16 = bench_train(16, s2d_head=True, p4_head=True)
     except Exception as e:
         import sys
 
@@ -309,7 +313,7 @@ def main():
     # KITTI one, so a shorter fori window keeps the device time ~2 s
     try:
         mp_train_imgs_sec = bench_train(8, height=512, width=640, n_hi=13,
-                                        s2d_head=True)
+                                        s2d_head=True, p4_head=True)
     except Exception as e:
         print(f"bench_train(matterport) failed: {e!r}", file=sys.stderr,
               flush=True)

@@ -241,7 +241,7 @@ def decompact_batch_np(batch, scheme=None):
 _IMAGE_LUT = np.arange(256, dtype=np.float32) / np.float32(255.0)
 
 
-def decompact_batch(batch, scheme=None, s2d_keys=()):
+def decompact_batch(batch, scheme=None, s2d_keys=(), p4_keys=()):
     """Device-side inverse (a no-op on plain f32 batches).
 
     With `scheme` (a BatchCompactor.scheme dict) the decode is driven by
@@ -256,8 +256,10 @@ def decompact_batch(batch, scheme=None, s2d_keys=()):
 
     `s2d_keys`: decoded [N,H,W] target maps to ALSO emit space-to-depth
     packed as '<key>@s2d' [N,H/2,W/2,4] (phase (a,b) at channel 2a+b) —
-    consumed by the s2d-basis '1/1' loss (train/losses.py).  Packing here
-    keeps the relayout in the put-path dispatch, off the train step.
+    consumed by the s2d-basis '1/1' loss (train/losses.py).  `p4_keys`:
+    likewise emit '<key>@s2d2' [N,H/4,W/4,16] period-4 packs for the p4
+    '1/2' head (train/losses.py:p4_map layout).  Packing here keeps the
+    relayouts in the put-path dispatch, off the train step.
     """
     import jax.numpy as jnp
 
@@ -279,13 +281,20 @@ def decompact_batch(batch, scheme=None, s2d_keys=()):
             n, h, w = t.shape
             out[key + "@s2d"] = t.reshape(n, h // 2, 2, w // 2, 2).transpose(
                 0, 1, 3, 2, 4).reshape(n, h // 2, w // 2, 4)
+    for key in p4_keys:
+        if key in out:
+            t = out[key]
+            n, h, w = t.shape
+            t4 = t.reshape(n, h // 4, 2, 2, w // 4, 2, 2)
+            out[key + "@s2d2"] = t4.transpose(0, 1, 4, 3, 6, 2, 5).reshape(
+                n, h // 4, w // 4, 16)
     return out
 
 
 _decompact_jits = {}
 
 
-def decompact_on_device(batch, scheme=None, s2d_keys=()):
+def decompact_on_device(batch, scheme=None, s2d_keys=(), p4_keys=()):
     """Jitted decode as its OWN dispatch — deliberately NOT traced into the
     train/eval steps.
 
@@ -308,13 +317,14 @@ def decompact_on_device(batch, scheme=None, s2d_keys=()):
     """
     skey = None if scheme is None else tuple(sorted(scheme.items(),
                                                     key=lambda kv: kv[0]))
-    key = (skey, tuple(s2d_keys))
+    key = (skey, tuple(s2d_keys), tuple(p4_keys))
     fn = _decompact_jits.get(key)
     if fn is None:
         import jax
 
         frozen = None if scheme is None else dict(scheme)
-        frozen_s2d = tuple(s2d_keys)
-        fn = jax.jit(lambda b: decompact_batch(b, frozen, frozen_s2d))
+        frozen_s2d, frozen_p4 = tuple(s2d_keys), tuple(p4_keys)
+        fn = jax.jit(lambda b: decompact_batch(b, frozen, frozen_s2d,
+                                               frozen_p4))
         _decompact_jits[key] = fn
     return fn(batch)

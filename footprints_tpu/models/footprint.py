@@ -54,13 +54,24 @@ def init_skip_decoder(key, enc_channels, out_ch=2):
 
 
 def skip_decoder_apply(params, state, features, *, apply_sigmoid, train=False,
-                       s2d_head=False):
+                       s2d_head=False, p4_head=False):
     """Returns ({'1/8','1/4','1/2','1/1'}: full-res NHWC maps, new_state).
 
     s2d_head=True replaces the '1/1' key with '1/1_s2d': the native-scale
     head left in channel-major s2d layout [N,H/2,W/2,4*out_ch] (see
     nn/blocks.py:decoder_tail) — the training-only fast path scored against
-    s2d-packed targets (train/losses.py)."""
+    s2d-packed targets (train/losses.py).
+
+    p4_head=True additionally computes the '1/2' head from block4's s2d
+    output BEFORE its depth_to_space (the tail still consumes the standard
+    layout): the '1/2' key becomes '1/2_s2d2' — the half-scale head in
+    PERIOD-4 layout [N,H/4,W/4,16*out_ch]
+    (nn/blocks.py:out_conv_block_p4), scored against p4-packed targets.
+    Eliminates the full-res 1/2 reflect pad + conv + bilinear from the
+    train graph (2.7x faster head, PERF.md r5).  The full period-4 SEAM
+    (tail up-conv on the s2d tensor too) was built and measured-refuted:
+    deferring the d2s past the seam conv doubles the relayout bytes
+    (PERF.md r5 results)."""
     ns = {}
     outputs = {}
     x = features[-1]
@@ -69,8 +80,15 @@ def skip_decoder_apply(params, state, features, *, apply_sigmoid, train=False,
     outputs["1/8"] = blocks.out_conv_block(params["outconv1"], x, scale=8, apply_sigmoid=apply_sigmoid)
     x, ns["block3"] = blocks.up_concat_block(params["block3"], state["block3"], x, features[-4], train=train)
     outputs["1/4"] = blocks.out_conv_block(params["outconv2"], x, scale=4, apply_sigmoid=apply_sigmoid)
-    x, ns["block4"] = blocks.up_concat_block(params["block4"], state["block4"], x, features[-5], train=train)
-    outputs["1/2"] = blocks.out_conv_block(params["outconv3"], x, scale=2, apply_sigmoid=apply_sigmoid)
+    x, ns["block4"] = blocks.up_concat_block(params["block4"], state["block4"], x, features[-5], train=train,
+                                             s2d_output=p4_head)
+    if p4_head:
+        from ..ops.s2d import depth_to_space
+        outputs["1/2_s2d2"] = blocks.out_conv_block_p4(
+            params["outconv3"], x, apply_sigmoid=apply_sigmoid)
+        x = depth_to_space(x)  # tail consumes the standard layout
+    else:
+        outputs["1/2"] = blocks.out_conv_block(params["outconv3"], x, scale=2, apply_sigmoid=apply_sigmoid)
     key11 = "1/1_s2d" if s2d_head else "1/1"
     outputs[key11], ns["outconv4_conv"] = blocks.decoder_tail(
         params["outconv4_conv"], state["outconv4_conv"],
@@ -101,13 +119,16 @@ class FootprintNetwork:
         return params, state
 
     def apply(self, params, state, image, *, train: bool = False,
-              s2d_head: bool = False):
+              s2d_head: bool = False, p4_head: bool = False):
         """image: [N,H,W,3] float in [0,1].  Returns (outputs, new_state).
 
         outputs[scale]: [N,H,W,4] with the ch0..ch3 contract above.
         With s2d_head=True (training fast path) the '1/1' key becomes
         '1/1_s2d': [N,H/2,W/2,16], channel-major s2d — lanes 4c..4c+3 hold
         the 4 spatial phases (row-major (2a+b)) of contract channel c.
+        With p4_head=True the '1/2' key becomes '1/2_s2d2':
+        [N,H/4,W/4,16*4] period-4 layout, lanes c*16+phase16 (see
+        nn/blocks.py:out_conv_block_p4).
         """
         ns = {}
         features, ns["encoder"] = resnet.encoder_apply(
@@ -116,10 +137,12 @@ class FootprintNetwork:
         mask_out, ns["mask_decoder"] = skip_decoder_apply(
             params["mask_decoder"], state["mask_decoder"], features,
             apply_sigmoid=False, train=train, s2d_head=s2d_head,
+            p4_head=p4_head,
         )
         depth_out, ns["depth_decoder"] = skip_decoder_apply(
             params["depth_decoder"], state["depth_decoder"], features,
             apply_sigmoid=True, train=train, s2d_head=s2d_head,
+            p4_head=p4_head,
         )
         outputs = {
             k: jnp.concatenate([mask_out[k], depth_out[k]], axis=-1) for k in mask_out

@@ -86,7 +86,7 @@ def _pallas_ok(x, x_s2d_next, conv1, conv2):
 
 
 def up_concat_block(params, state, x, skip, *, use_bn=False, use_elu=True,
-                    train=False, fast=None):
+                    train=False, fast=None, s2d_output=False):
     """pre-conv -> nearest x2 upsample -> channel-concat skip -> post-conv.
 
     fast=True (default) runs the post-block in space-to-depth layout
@@ -96,6 +96,10 @@ def up_concat_block(params, state, x, skip, *, use_bn=False, use_elu=True,
     result is unpacked once.  No upsampled/concatenated tensor is ever
     materialized, and the convs run at full 4x channel width.
     Numerically identical up to fp summation order (golden-tested).
+
+    s2d_output=True returns the result still in s2d layout [N,H,W,4C]
+    so the p4 '1/2' head (out_conv_block_p4) can consume it before the
+    caller's depth_to_space (PERF.md r5).
     """
     from ..ops.s2d import (depth_to_space, s2d_conv3x3_reflect,
                            space_to_depth, up_conv_to_s2d)
@@ -126,12 +130,14 @@ def up_concat_block(params, state, x, skip, *, use_bn=False, use_elu=True,
                 + s2d_conv3x3_reflect(skip_s2d, conv1["w"][:, :, c_up:, :])
             y = act(y + jnp.tile(conv1["b"], 4))
             y = act(s2d_conv3x3_reflect(y, conv2["w"], conv2["b"]))
-        x = depth_to_space(y)
+        x = y if s2d_output else depth_to_space(y)
     else:
         x = upsample_nearest(x, 2)
         x = jnp.concatenate([x, skip], axis=-1)
         x, post_s = conv_block(params["post"], state["post"], x, use_bn=use_bn,
                                use_elu=use_elu, train=train)
+        if s2d_output:  # tiny-shape fallback keeps the layout contract
+            x = space_to_depth(x)
     return x, {"pre": pre_s, "post": post_s}
 
 
@@ -159,7 +165,8 @@ def decoder_tail(conv_params, conv_state, out_params, x, *, apply_sigmoid,
     )
     assert not (s2d_output and out_scale != 1), \
         "s2d_output only makes sense for the native-resolution head"
-    from ..ops.s2d import depth_to_space, s2d_conv3x3_reflect, up_conv_to_s2d
+    from ..ops.s2d import (depth_to_space, s2d_conv3x3_reflect,
+                           up_conv_to_s2d)
 
     act = elu if use_elu else relu
     c1, c2 = conv_params["conv1"], conv_params["conv2"]
@@ -185,6 +192,24 @@ def decoder_tail(conv_params, conv_state, out_params, x, *, apply_sigmoid,
 
 def init_out_conv_block(key, c_in, c_out):
     return {"conv1": nn_init.conv_kaiming_uniform(key, 3, 3, c_in, c_out)}
+
+
+def out_conv_block_p4(params, x_s2d, *, apply_sigmoid):
+    """OutConvBlock (reflect-pad -> conv3x3 -> sigmoid -> bilinear x2) with
+    the input in s2d layout and the output in PERIOD-4 layout
+    [N,h,w,16*co] (lanes ch*16 + (2a+b)*4 + (2alpha+beta); see
+    ops/s2d.py:bilinear_up2_p4) — the p4 '1/2' head (2.7x faster than the
+    full-res head on chip, PERF.md r5: the full-res reflect pad + conv +
+    bilinear all run at half resolution with full lanes).  Scored against
+    p4-packed targets (train/losses.py); numerically equal to
+    out_conv_block(scale=2) up to fp order (golden-tested)."""
+    from ..ops.s2d import bilinear_up2_p4, s2d_conv3x3_reflect
+
+    conv = params["conv1"]
+    y = s2d_conv3x3_reflect(x_s2d, conv["w"], conv["b"])
+    if apply_sigmoid:
+        y = sigmoid(y)
+    return bilinear_up2_p4(y, conv["w"].shape[-1])
 
 
 def out_conv_block(params, x, *, scale, apply_sigmoid):

@@ -366,6 +366,143 @@ def _edge_conv_phase_bwd(precision, res, cot):
 _edge_conv_phase.defvjp(_edge_conv_phase_fwd, _edge_conv_phase_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Period-4 '1/2' head (r5): execute the half-scale output head directly on
+# block4's s2d output, eliminating its full-res reflect pad + conv +
+# bilinear (2.7x faster head on chip, PERF.md r5).  The full period-4 SEAM
+# — running the tail's up-conv on the s2d tensor too (_up_conv_p4) — was
+# built, golden-tested, and measured-REFUTED: deferring the d2s past the
+# seam conv doubles the relayout bytes (the seam output has 2x the
+# channels of its input), 5.61 vs 4.11 ms fwd+bwd at the model shape, and
+# autodiff vs hand-VJP made no difference (5.53 ms).  Removed; numbers and
+# the byte-count analysis live in PERF.md r5 results + tools/ab_p4_seam.py.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _edge_perm_np(c, axis, side):
+    """[4C,4C] 0/1 permutation filling an s2d EDGE-pad border row/col.
+
+    A 1-px edge pad of the underlying full-res image clamps full row -1 to
+    row 0 — which lives in the OTHER phase group of s2d row 0, so the pad
+    row needs a channel-GROUP shuffle.  A lane-dim concat of group slices
+    is the r2 miscompile pattern; a permutation matmul is a different
+    lowering entirely (MXU) and exact in any dtype (one 1*v product per
+    output).  Only the groups the downstream s2d kernel actually reads are
+    shuffled; unread groups keep identity lanes (harmless junk).
+    """
+    P = np.zeros((4 * c, 4 * c), np.float32)
+    for d in range(4 * c):
+        g, i = divmod(d, c)
+        a, b = divmod(g, 2)
+        src_g = g
+        if axis == "row":
+            # top pad row: only phase a=1 is read = full row -1 -> clamp 0
+            # = s2d row 0 phase a=0; bottom: only a=0 read = full row 2H
+            # -> clamp 2H-1 = s2d row H-1 phase a=1
+            if side == "top" and a == 1:
+                src_g = 0 * 2 + b
+            elif side == "bottom" and a == 0:
+                src_g = 1 * 2 + b
+        else:
+            if side == "left" and b == 1:
+                src_g = a * 2 + 0
+            elif side == "right" and b == 0:
+                src_g = a * 2 + 1
+        P[src_g * c + i, d] = 1.0
+    return P
+
+
+def _perm_mm(rows, P, dtype):
+    """rows [..., 4C] x P [4C,4C] -> [..., 4C]; exact (one product/output)."""
+    return jnp.einsum("...c,cd->...d", rows, jnp.asarray(P, dtype),
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _s2d_edge_pad(x, c):
+    """Pad an s2d tensor [N,H,W,4C] by one s2d row/col such that the
+    positions the s2d conv kernel reads correspond to a 1-px EDGE pad of
+    the full-res image (the up-conv identity pads the pre-upsample image
+    with edge clamping — see _edge_pad1 / ops/upconv.py)."""
+    dt = x.dtype
+    top = _perm_mm(x[:, :1], _edge_perm_np(c, "row", "top"), dt)
+    bottom = _perm_mm(x[:, -1:], _edge_perm_np(c, "row", "bottom"), dt)
+    x = jnp.concatenate([top, x, bottom], axis=1)  # spatial concat: safe
+    left = _perm_mm(x[:, :, :1], _edge_perm_np(c, "col", "left"), dt)
+    right = _perm_mm(x[:, :, -1:], _edge_perm_np(c, "col", "right"), dt)
+    return jnp.concatenate([left, x, right], axis=2)
+
+
+def _s2d_edge_pad_fwd(x, c):
+    return _s2d_edge_pad(x, c), None
+
+
+def _s2d_edge_pad_bwd(c, _, g):
+    """Transpose: border cotangents fold through the permutations' inverses
+    onto the border rows/cols; one big interior slice (same shape economy
+    as _s2d_reflect_pad_bwd)."""
+    dt = g.dtype
+    # undo the column pad (applied last): cols 0 / -1 -> col 0 / -1 via P^T
+    g1 = g[:, :, 1:-1]
+    g1 = g1.at[:, :, 0].add(_perm_mm(
+        g[:, :, 0], _edge_perm_np(c, "col", "left").T, dt))
+    g1 = g1.at[:, :, -1].add(_perm_mm(
+        g[:, :, -1], _edge_perm_np(c, "col", "right").T, dt))
+    # undo the row pad
+    gi = g1[:, 1:-1]
+    gi = gi.at[:, 0].add(_perm_mm(
+        g1[:, 0], _edge_perm_np(c, "row", "top").T, dt))
+    gi = gi.at[:, -1].add(_perm_mm(
+        g1[:, -1], _edge_perm_np(c, "row", "bottom").T, dt))
+    return (gi,)
+
+
+_s2d_edge_pad.defvjp(_s2d_edge_pad_fwd, _s2d_edge_pad_bwd)
+
+
+@functools.lru_cache(maxsize=None)
+def _bilinear_up2_kernel_np(c):
+    """[3,3,c,4c] phase-embedded bilinear x2 (align_corners=False),
+    channel-major output lanes (ch*4 + 2a+b): f[2p+a] = 0.25 g[p-1+2a] +
+    0.75 g[p]; border clamping = the edge pad."""
+    k = np.zeros((3, 3, c, 4 * c), np.float32)
+    taps = {0: ((0, 0.25), (1, 0.75)), 1: ((1, 0.75), (2, 0.25))}
+    for a in (0, 1):
+        for b_ in (0, 1):
+            for dy, wy in taps[a]:
+                for dx, wx in taps[b_]:
+                    for ch in range(c):
+                        k[dy, dx, ch, ch * 4 + 2 * a + b_] = wy * wx
+    return k
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def bilinear_up2_p4(x, c, precision=None):
+    """Bilinear x2 upsample (align_corners=False) of a map given in s2d
+    layout, output in period-4 layout: x = s2d(g) [N,h,w,4c] ->
+    [N,h,w,16c], lanes ch*16 + (2a+b)*4 + (2alpha+beta) where the full-res
+    row is 4i + 2*alpha + a (matches train/losses.py:p4_map).  Constant
+    kernel (no weight grads)."""
+    k = _s2d_kernel(jnp.asarray(_bilinear_up2_kernel_np(c), x.dtype),
+                    channel_major_out=True)
+    return _conv(_s2d_edge_pad(x, c), k, precision=precision)
+
+
+def _bilinear_up2_p4_fwd(x, c, precision):
+    return bilinear_up2_p4(x, c, precision), None
+
+
+def _bilinear_up2_p4_bwd(c, precision, _, cot):
+    k = _s2d_kernel(jnp.asarray(_bilinear_up2_kernel_np(c), cot.dtype),
+                    channel_major_out=True)
+    dxp = _dxp_presliced(cot, k, precision)
+    (dx,) = _s2d_edge_pad_bwd(c, None, dxp)
+    return (dx,)
+
+
+bilinear_up2_p4.defvjp(_bilinear_up2_p4_fwd, _bilinear_up2_p4_bwd)
+
+
 def s2d_conv3x3_reflect(x, w, b=None, *, precision=None,
                         channel_major_out=False):
     """Full-res conv3x3(reflect_pad(X)) computed in s2d layout.

@@ -79,6 +79,14 @@ class Options:
                             "on the put path — fp-summation-order-only "
                             "deviation.  'auto' enables it with bfloat16 "
                             "compute (the measured-win config, PERF.md r5)")
+        p.add_argument("--p4_head", type=str, default="auto",
+                       choices=["auto", "on", "off"],
+                       help="score the '1/2' scale in period-4 basis "
+                            "(train/step.py): the half-scale head runs on "
+                            "block4's pre-d2s tensor and targets are packed "
+                            "on the put path — same deviation class as "
+                            "--s2d_head; +6%% train step (PERF.md r5).  "
+                            "'auto' enables it with bfloat16 compute")
         p.add_argument("--debug_nans", action="store_true",
                        help="enable jax NaN checking (recompiles per-op; "
                             "debugging only)")

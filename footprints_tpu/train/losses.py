@@ -66,6 +66,17 @@ def s2d_map(t):
         0, 1, 3, 2, 4).reshape(n, h // 2, w // 2, 4)
 
 
+def p4_map(t):
+    """[N,H,W] -> [N,H/4,W/4,16] period-4 pack of a target map: lane
+    (2a+b)*4 + (2alpha+beta) holds t[4i + 2*alpha + a, 4j + 2*beta + b] —
+    the exact per-channel phase order of the p4 '1/2' head
+    (ops/s2d.py:bilinear_up2_p4)."""
+    n, h, w = t.shape
+    t = t.reshape(n, h // 4, 2, 2, w // 4, 2, 2)  # (n, i, alpha, a, j, beta, b)
+    t = t.transpose(0, 1, 4, 3, 6, 2, 5)          # (n, i, j, a, b, alpha, beta)
+    return t.reshape(n, h // 4, w // 4, 16)
+
+
 def compute_losses(predictions, targets, config: LossConfig = LossConfig()):
     """predictions: {scale: [N,H,W,4]}; targets: dict of [N,H,W] maps.
 
@@ -94,19 +105,25 @@ def compute_losses(predictions, targets, config: LossConfig = LossConfig()):
         t = targets.get(name + "@s2d")
         return s2d_map(targets[name]) if t is None else t
 
+    def p4_target(name):
+        t = targets.get(name + "@s2d2")
+        return p4_map(targets[name]) if t is None else t
+
     losses = {}
     total = 0.0
     for scale_key, output in predictions.items():
         output = output.astype(jnp.float32)
-        if scale_key == "1/1_s2d":
-            scale_key = "1/1"
-            t_g = s2d_target("visible_ground")
-            t_ga = s2d_target("all_ground")
-            t_dm = s2d_target("depth_mask")
-            t_mov = 1.0 - s2d_target("moving_object_mask")
-            t_d = s2d_target("depth")
-            t_gd = s2d_target("ground_depth")
-            ch = lambda c: output[..., 4 * c:4 * c + 4]
+        if scale_key in ("1/1_s2d", "1/2_s2d2"):
+            packed, width = ((s2d_target, 4) if scale_key == "1/1_s2d"
+                             else (p4_target, 16))
+            scale_key = "1/1" if width == 4 else "1/2"
+            t_g = packed("visible_ground")
+            t_ga = packed("all_ground")
+            t_dm = packed("depth_mask")
+            t_mov = 1.0 - packed("moving_object_mask")
+            t_d = packed("depth")
+            t_gd = packed("ground_depth")
+            ch = lambda c: output[..., width * c:width * c + width]
             vd = (t_d > 0).astype(jnp.float32)
             vgd = (t_gd > 0).astype(jnp.float32)
         else:

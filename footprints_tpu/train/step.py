@@ -41,6 +41,11 @@ class TrainStepConfig:
     # fastest when the batch carries '<target>@s2d' keys (put-path decode,
     # data/compact.py) — the loss falls back to in-step packing otherwise.
     s2d_head: bool = False
+    # period-4 '1/2' head (PERF.md r5): the half-scale head is computed
+    # from block4's pre-d2s s2d tensor and scored in period-4 basis
+    # against '<target>@s2d2' keys.  Same deviation class and fallback
+    # behavior as s2d_head.
+    p4_head: bool = False
 
     def __post_init__(self):
         # loud failure instead of silently training full-f32 at 1/3 speed
@@ -95,7 +100,11 @@ def build_train_step(net, config: TrainStepConfig, mesh=None):
     mixed = config.compute_dtype in ("bfloat16", "bf16")
     # only pass the kwarg when enabled: nets that don't implement an s2d
     # head (e.g. test doubles) keep satisfying the plain apply contract
-    head_kw = {"s2d_head": True} if config.s2d_head else {}
+    head_kw = {}
+    if config.s2d_head:
+        head_kw["s2d_head"] = True
+    if config.p4_head:
+        head_kw["p4_head"] = True
 
     def loss_fn(params, state, batch):
         if mixed:
@@ -152,7 +161,11 @@ def build_eval_step(net, config: TrainStepConfig, mesh=None):
     as training (comparable train/val curves, bf16 eval throughput); the
     loss itself stays f32 either way (compute_losses upcasts)."""
     mixed = config.compute_dtype in ("bfloat16", "bf16")
-    head_kw = {"s2d_head": True} if config.s2d_head else {}
+    head_kw = {}
+    if config.s2d_head:
+        head_kw["s2d_head"] = True
+    if config.p4_head:
+        head_kw["p4_head"] = True
 
     def eval_fn(params, state, batch):
         if mixed:

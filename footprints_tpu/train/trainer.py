@@ -100,14 +100,17 @@ class TrainManager:
             footprint_prior_weight=self.opt.footprint_prior,
         )
         s2d_opt = getattr(self.opt, "s2d_head", "auto")
+        p4_opt = getattr(self.opt, "p4_head", "auto")
         mixed = getattr(self.opt, "compute_dtype", None) in ("bfloat16", "bf16")
         self._s2d_head = s2d_opt == "on" or (s2d_opt == "auto" and mixed)
+        self._p4_head = p4_opt == "on" or (p4_opt == "auto" and mixed)
         self.step_config = TrainStepConfig(
             learning_rate=self.opt.lr,
             steps_per_epoch=steps_per_epoch,
             loss=loss_config,
             compute_dtype=getattr(self.opt, "compute_dtype", None),
             s2d_head=self._s2d_head,
+            p4_head=self._p4_head,
         )
         self.train_step = build_train_step(
             self.model_manager.net, self.step_config, mesh=self.mesh)
@@ -273,12 +276,13 @@ class TrainManager:
         # dispatch — the train step's compiled graph never sees uint8.
         # The decode is driven by the compactor's locked scheme (read AFTER
         # encoding locks it) so passthrough keys keep their native dtypes.
-        # With the s2d head, the '<k>@s2d' packed targets are built in the
-        # same dispatch — off the train step.
+        # With the s2d/p4 heads, the '<k>@s2d'/'<k>@s2d2' packed targets
+        # are built in the same dispatch — off the train step.
         compact = self._compactor(host_batch)
         s2d_keys = self._S2D_TARGET_KEYS if self._s2d_head else ()
+        p4_keys = self._S2D_TARGET_KEYS if self._p4_head else ()
         return decompact_on_device(shard_batch(self.mesh, compact),
-                                   self._compactor.scheme, s2d_keys)
+                                   self._compactor.scheme, s2d_keys, p4_keys)
 
     def _log(self, writer, batch, losses):
         if writer is None:

@@ -136,6 +136,122 @@ def test_s2d_losses_consume_put_path_packed_targets(net_and_inputs):
                                       np.asarray(l_packed[k])), k
 
 
+# ---------------------------------------------------------------------------
+# period-4 '1/2' head (PERF.md r5; the full p4 SEAM was measured-refuted,
+# see ops/s2d.py section comment)
+# ---------------------------------------------------------------------------
+
+def test_bilinear_up2_p4_matches_naive_values_and_grads():
+    """bilinear_up2_p4(s2d(g)) must hold the same values as
+    upsample_bilinear(g, 2) in the documented p4 lane order, for every
+    channel — including the edge-clamped borders — and its VJP must match
+    autodiff of the naive composition."""
+    from footprints_tpu.nn.layers import upsample_bilinear
+    from footprints_tpu.ops.s2d import bilinear_up2_p4, space_to_depth
+
+    c = 2
+    g = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 16, c))
+    y = space_to_depth(g)  # [2,6,8,4c]
+
+    out = bilinear_up2_p4(y, c)  # [2,6,8,16c]
+    ref = upsample_bilinear(g, 2)  # [2,24,32,c]
+
+    def unpack(out):
+        n, h, w, _ = out.shape
+        o = np.asarray(out).reshape(n, h, w, c, 2, 2, 2, 2)  # (a,b,al,be)
+        f = np.zeros((n, 4 * h, 4 * w, c), np.float32)
+        for a in (0, 1):
+            for b_ in (0, 1):
+                for al in (0, 1):
+                    for be in (0, 1):
+                        f[:, 2 * al + a::4, 2 * be + b_::4] \
+                            = o[:, :, :, :, a, b_, al, be]
+        return f
+
+    np.testing.assert_allclose(unpack(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+    g1 = jax.grad(lambda g: jnp.sum(jnp.sin(
+        bilinear_up2_p4(space_to_depth(g), c))))(g)
+    g2 = jax.grad(lambda g: jnp.sum(jnp.sin(upsample_bilinear(g, 2))))(g)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_p4_head_model_outputs_match_standard(net_and_inputs):
+    """p4_head=True: '1/2_s2d2' must be the exact p4 repack of the
+    standard '1/2' output (up to fp order through the different pad/conv
+    compositions) and '1/1' must be unchanged up to fp order."""
+    from footprints_tpu.train.losses import p4_map
+
+    net, params, state, x = net_and_inputs
+    out_std, _ = jax.jit(lambda p, s, x: net.apply(p, s, x, train=True))(
+        params, state, x)
+    out_p4, _ = jax.jit(lambda p, s, x: net.apply(p, s, x, train=True,
+                                                  p4_head=True))(
+        params, state, x)
+    assert set(out_p4) == {"1/8", "1/4", "1/2_s2d2", "1/1"}
+    for k in ("1/8", "1/4"):
+        np.testing.assert_array_equal(np.asarray(out_p4[k]),
+                                      np.asarray(out_std[k]))
+    np.testing.assert_allclose(np.asarray(out_p4["1/1"]),
+                               np.asarray(out_std["1/1"]),
+                               rtol=1e-4, atol=1e-5)
+    got = np.asarray(out_p4["1/2_s2d2"])  # [N,H/4,W/4,64]
+    ref = np.asarray(out_std["1/2"])      # [N,H,W,4]
+    ref_p4 = np.stack([np.asarray(p4_map(jnp.asarray(ref[..., ch])))
+                       for ch in range(4)], axis=-2)  # [N,h,w,4,16]
+    np.testing.assert_allclose(got.reshape(ref_p4.shape), ref_p4,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_p4_head_losses_match_standard_values_and_grads(net_and_inputs):
+    net, params, state, x = net_and_inputs
+    targets = _targets()
+
+    def loss(params, p4):
+        out, _ = net.apply(params, state, x, train=True, s2d_head=p4,
+                           p4_head=p4)
+        return compute_losses(out, targets, LossConfig())
+
+    l_std = jax.jit(lambda p: loss(p, False))(params)
+    l_p4 = jax.jit(lambda p: loss(p, True))(params)
+    assert set(l_std) == set(l_p4)
+    for k in l_std:
+        np.testing.assert_allclose(np.asarray(l_p4[k]), np.asarray(l_std[k]),
+                                   rtol=5e-6, atol=5e-7), k
+
+    g_std = jax.jit(jax.grad(lambda p: loss(p, False)["loss"]))(params)
+    g_p4 = jax.jit(jax.grad(lambda p: loss(p, True)["loss"]))(params)
+    scale = max(float(np.max(np.abs(np.asarray(g)))) for g in
+                jax.tree.leaves(g_std))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5 * scale),
+        g_p4, g_std)
+
+
+def test_p4_packed_targets_match_inline(net_and_inputs):
+    from footprints_tpu.data.compact import decompact_batch
+    from footprints_tpu.train.losses import p4_map
+
+    targets = _targets()
+    keys = tuple(targets)
+    packed = decompact_batch(targets, None, keys, keys)
+    for k in keys:
+        np.testing.assert_array_equal(np.asarray(packed[k + "@s2d2"]),
+                                      np.asarray(p4_map(targets[k])))
+
+    net, params, state, x = net_and_inputs
+    out, _ = net.apply(params, state, x, train=True, s2d_head=True,
+                       p4_head=True)
+    l_inline = compute_losses(out, targets, LossConfig())
+    l_packed = compute_losses(out, packed, LossConfig())
+    for k in l_inline:
+        np.testing.assert_array_equal(np.asarray(l_inline[k]),
+                                      np.asarray(l_packed[k])), k
+
+
 def test_train_step_s2d_head_end_to_end():
     """One jitted train step with s2d_head + packed targets runs and moves
     params; metrics keys match the standard step's."""

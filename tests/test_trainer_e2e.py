@@ -92,9 +92,10 @@ def test_train_manager_end_to_end(tmp_path):
 
 @pytest.mark.slow
 def test_train_manager_s2d_head_mixed_precision(tmp_path):
-    """bfloat16 compute enables the s2d-basis '1/1' head (s2d_head='auto'):
-    the put path must emit '@s2d' packed targets, the step must consume
-    them, and training must stay finite on the 8-device mesh."""
+    """bfloat16 compute enables the s2d-basis '1/1' head (s2d_head='auto')
+    and the period-4 '1/2' head (p4_head='auto'): the put path must emit
+    '@s2d'/'@s2d2' packed targets, the step must consume them, and
+    training must stay finite on the 8-device mesh."""
     from footprints_tpu.options import Options
     from footprints_tpu.train.trainer import TrainManager
 
@@ -112,10 +113,12 @@ def test_train_manager_s2d_head_mixed_precision(tmp_path):
     ])
     tm = TrainManager(opts)
     assert tm._s2d_head and tm.step_config.s2d_head
+    assert tm._p4_head and tm.step_config.p4_head
     # the put path attaches packed targets for every loss target key
     batch = tm._put(next(iter(tm.train_loader)))
     for k in tm._S2D_TARGET_KEYS:
         assert batch[k + "@s2d"].shape == (8, H // 2, W // 2, 4)
+        assert batch[k + "@s2d2"].shape == (8, H // 4, W // 4, 16)
     tm.train()
     assert tm.step == 1
 

@@ -21,6 +21,14 @@ output has 2x the channels of its input, so deferring the d2s until after
 the seam conv doubles the relayout bytes.
 
 Prints one JSON line with fwd+bwd ms/step for each variant (fori slope).
+
+OUTCOME (2026-08-19, PERF.md r5 results): B reads −6.6% here (5.74 vs
+6.15 ms) but that win is entirely the h12 leg (full-res head conv in A vs
+s2d-basis head in B) — isolating the up-conv seam alone shows B's
+formulation 1.34-1.37× SLOWER, matching the byte-count preview above, and
+the integrated train step regressed −5.7%.  The landed form keeps
+variant A's seam and takes only B's head leg (p4 '1/2' head, +6.2%
+integrated).
 """
 
 import json
