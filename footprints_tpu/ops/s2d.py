@@ -503,6 +503,73 @@ def _bilinear_up2_p4_bwd(c, precision, _, cot):
 bilinear_up2_p4.defvjp(_bilinear_up2_p4_fwd, _bilinear_up2_p4_bwd)
 
 
+def _nested_phase_lane(s, ry, rx):
+    """Lane index of full-res phase (ry, rx) in the nested period-2 pack
+    order shared by s2d_map (s=2), p4_map (s=4), and p8_map (s=8) in
+    train/losses.py: lane = sum_k (2*bit_k(ry) + bit_k(rx)) * 4^(m-1-k),
+    m = log2(s) — LSB phase bits form the outermost lane group."""
+    m = s.bit_length() - 1
+    lane = 0
+    for kb in range(m):
+        lane += (2 * ((ry >> kb) & 1) + ((rx >> kb) & 1)) * 4 ** (m - 1 - kb)
+    return lane
+
+
+def _bilin_taps(s, r):
+    """(tap index in {0,1,2}, weight) pairs for output phase r of a
+    bilinear xS upsample (align_corners=False): f[s*p + r] interpolates
+    g[p + lo] and g[p + lo + 1] with a = (r+0.5)/s - 0.5, lo = floor(a);
+    tap index = lo+1 / lo+2 into a 1-px-padded axis.  All weights are
+    exact binary fractions (denominator 2s)."""
+    a = (r + 0.5) / s - 0.5
+    lo = int(np.floor(a))
+    w_hi = a - lo
+    taps = []
+    if w_hi < 1.0:
+        taps.append((lo + 1, 1.0 - w_hi))
+    if w_hi > 0.0:
+        taps.append((lo + 2, w_hi))
+    return tuple(taps)
+
+
+@functools.lru_cache(maxsize=None)
+def _bilinear_up_packed_kernel_np(c, s):
+    """[3,3,c,s*s*c] constant kernel: bilinear xS (align_corners=False) of
+    a STANDARD-layout map with the output left packed period-S, lanes
+    ch*s^2 + _nested_phase_lane(s, ry, rx).  Border clamping is supplied
+    by a 1-px edge pad of the input."""
+    assert s & (s - 1) == 0 and s >= 2, f"s={s} must be a power of two"
+    k = np.zeros((3, 3, c, s * s * c), np.float32)
+    for ry in range(s):
+        for rx in range(s):
+            lane = _nested_phase_lane(s, ry, rx)
+            for dy, wy in _bilin_taps(s, ry):
+                for dx, wx in _bilin_taps(s, rx):
+                    for ch in range(c):
+                        k[dy, dx, ch, ch * s * s + lane] = wy * wx
+    return k
+
+
+def bilinear_up_packed(y, s, *, precision=None):
+    """Bilinear xS upsample (align_corners=False) of a standard-layout map
+    with the output left in period-S packed layout: [N,h,w,c] ->
+    [N,h,w,s^2*c], lanes ch*s^2 + nested phase lane — the '1/4'/'1/8'
+    output-head analog of bilinear_up2_p4 (reference semantics:
+    /root/reference/footprints/network.py SkipDecoder's F.interpolate to
+    full res; here the xS interpolation is a constant 3x3 conv emitting
+    all s^2 phases as lanes, and the [N,s*h,s*w,c] tensor is never
+    materialized).  The input is standard layout, so the border clamp is
+    a plain 1-px edge pad.  Lane order matches train/losses.py p4_map
+    (s=4) / p8_map (s=8) so packed targets score the head directly.
+    Constant kernel => no weight grads; autodiff supplies the VJP (the
+    pad transpose is two slice-adds, the conv dgrad is a mirrored conv).
+    """
+    c = y.shape[-1]
+    k = jnp.asarray(_bilinear_up_packed_kernel_np(c, s), y.dtype)
+    yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    return _conv(yp, k, precision=precision or jax.lax.Precision.HIGHEST)
+
+
 def s2d_conv3x3_reflect(x, w, b=None, *, precision=None,
                         channel_major_out=False):
     """Full-res conv3x3(reflect_pad(X)) computed in s2d layout.

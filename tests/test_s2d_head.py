@@ -141,6 +141,56 @@ def test_s2d_losses_consume_put_path_packed_targets(net_and_inputs):
 # see ops/s2d.py section comment)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.parametrize("s", [2, 4, 8])
+def test_bilinear_up_packed_matches_naive_values_and_grads(s):
+    """bilinear_up_packed(y, s) must hold the same values as
+    upsample_bilinear(y, s) in the documented nested lane order (which for
+    s=2/4 equals s2d_map/p4_map of the full-res result), including the
+    edge-clamped borders, and its autodiff VJP must match the naive
+    composition's."""
+    from footprints_tpu.nn.layers import upsample_bilinear
+    from footprints_tpu.ops.s2d import _nested_phase_lane, bilinear_up_packed
+
+    c = 2
+    y = jax.random.uniform(jax.random.PRNGKey(0), (2, 8, 16, c))
+    out = np.asarray(bilinear_up_packed(y, s))
+    ref = np.asarray(upsample_bilinear(y, s))  # [2,8s,16s,c]
+    for ch in range(c):
+        for ry in range(s):
+            for rx in range(s):
+                lane = ch * s * s + _nested_phase_lane(s, ry, rx)
+                np.testing.assert_allclose(
+                    out[..., lane], ref[:, ry::s, rx::s, ch],
+                    rtol=1e-6, atol=1e-6)
+
+    g1 = jax.grad(lambda y: jnp.sum(jnp.sin(bilinear_up_packed(y, s))))(y)
+    g2 = jax.grad(lambda y: jnp.sum(jnp.sin(upsample_bilinear(y, s))))(y)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_bilinear_up_packed_lane_order_matches_loss_pack_maps():
+    """The s=4 lane order must equal p4_map's (so the '1/4' head can reuse
+    '@s2d2' put-path targets) and s=2's must equal s2d_map's."""
+    from footprints_tpu.ops.s2d import _nested_phase_lane
+    from footprints_tpu.train.losses import p4_map
+
+    t = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 32))
+    packed4 = np.asarray(p4_map(t))
+    tn = np.asarray(t)
+    for ry in range(4):
+        for rx in range(4):
+            np.testing.assert_array_equal(
+                packed4[..., _nested_phase_lane(4, ry, rx)],
+                tn[:, ry::4, rx::4])
+    packed2 = np.asarray(s2d_map(t))
+    for ry in range(2):
+        for rx in range(2):
+            np.testing.assert_array_equal(
+                packed2[..., _nested_phase_lane(2, ry, rx)],
+                tn[:, ry::2, rx::2])
+
+
 def test_bilinear_up2_p4_matches_naive_values_and_grads():
     """bilinear_up2_p4(s2d(g)) must hold the same values as
     upsample_bilinear(g, 2) in the documented p4 lane order, for every
