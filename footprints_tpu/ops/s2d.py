@@ -560,9 +560,15 @@ def bilinear_up_packed(y, s, *, precision=None):
     all s^2 phases as lanes, and the [N,s*h,s*w,c] tensor is never
     materialized).  The input is standard layout, so the border clamp is
     a plain 1-px edge pad.  Lane order matches train/losses.py p4_map
-    (s=4) / p8_map (s=8) so packed targets score the head directly.
+    (s=4) so packed targets could score such a head directly.
     Constant kernel => no weight grads; autodiff supplies the VJP (the
     pad transpose is two slice-adds, the conv dgrad is a mirrored conv).
+
+    MEASURED-REFUTED as a model head (PERF.md r5,
+    tools/ab_packed_heads.py): 0.71x/0.68x vs the full-res bilinear at
+    the '1/4'/'1/8' sites on chip — XLA's separable resize lowering is
+    already efficient there.  Kept, golden-tested, as the executable
+    spec behind the refutation numbers; not wired into the model.
     """
     c = y.shape[-1]
     k = jnp.asarray(_bilinear_up_packed_kernel_np(c, s), y.dtype)

@@ -14,6 +14,12 @@ Sites (per decoder, x2 decoders in the model, KITTI 192x640 batch 12):
 
 fwd+bwd fori-slope per variant (same methodology as tools/ab_p4_seam.py).
 Prints one JSON line.  Numbers land in PERF.md before any model wiring.
+
+OUTCOME (2026-08-19, PERF.md r5 results): B LOSES at both sites —
+h14 0.331 -> 0.465 ms (0.71x), h18 0.082 -> 0.120 ms (0.68x).  XLA's
+separable resize lowering is already efficient at these shapes and the
+sites bound any win under ~1% of the step; the model wiring was reverted
+unlanded.  Don't re-try without new numbers.
 """
 
 import json
