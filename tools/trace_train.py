@@ -3,7 +3,11 @@
 Usage:
   python tools/trace_train.py capture [batch] [outdir]   # run 5 steps under
                                                          # jax.profiler.trace
+  python tools/trace_train.py capture-seg [batch] [outdir]  # ground-seg step
   python tools/trace_train.py report [outdir] [--top N] [--cat CATEGORY]
+
+`capture` traces the production mixed-precision config (s2d '1/1' + p4
+'1/2' heads with put-path packed targets, r5).
 
 The report groups device-stream events by their `hlo_category` (as the
 XLA:TPU backend labels them: "convolution fusion", "loop fusion", "data
@@ -53,7 +57,13 @@ def capture(batch: int, outdir: str) -> None:
     layers.set_default_precision("default")
     net = FootprintNetwork(depth=34)
     b = make_batch(batch)
-    cfg = TrainStepConfig(steps_per_epoch=1000, compute_dtype="bfloat16")
+    # the production mixed-precision config: s2d '1/1' + p4 '1/2' heads
+    # with put-path packed targets (r5; same wiring as bench.bench_train)
+    from footprints_tpu.data.compact import decompact_on_device
+    tk = tuple(k for k in b if k != "image")
+    b = decompact_on_device(b, None, tk, tk)
+    cfg = TrainStepConfig(steps_per_epoch=1000, compute_dtype="bfloat16",
+                          s2d_head=True, p4_head=True)
     ts = init_train_state(net, jax.random.PRNGKey(0), cfg)
     step = jax.jit(build_train_step(net, cfg, mesh=False), donate_argnums=(0,))
 
@@ -65,6 +75,70 @@ def capture(batch: int, outdir: str) -> None:
             ts, m = step(ts, b)
         _ = np.asarray(m["loss"])
     print(f"trace written under {outdir}")
+
+
+def capture_seg(batch: int, outdir: str) -> None:
+    """Same 5-step trace for the ground-seg train step (bench.py's
+    bench_seg_train graph — the production seg trainer's mixed step)."""
+    import jax
+    import numpy as np
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/fp_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+    import optax
+
+    from footprints_tpu.models import Segmentor
+    from footprints_tpu.nn import layers
+    from footprints_tpu.preprocessing.segmentation.losses import (
+        compute_seg_losses)
+
+    layers.set_default_precision("default")
+    net = Segmentor(depth=34, use_psp=True)
+    params, state = net.init(jax.random.PRNGKey(0))
+    optimizer = optax.adam(1e-4)
+    ts = {"params": params, "state": state,
+          "opt_state": optimizer.init(params)}
+
+    rng = np.random.RandomState(0)
+    b = {
+        "image": jnp.asarray(rng.rand(batch, H, W, 3), jnp.float32),
+        "ground_mask": jnp.asarray(rng.rand(batch, H, W) > 0.5, jnp.float32),
+        "labelled_pix": jnp.asarray(rng.rand(batch, H, W) > 0.1, jnp.float32),
+    }
+
+    def loss_fn(params, state, batch):
+        fwd_params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a is not None else None,
+            params)
+        outputs, new_state = net.apply(fwd_params, state,
+                                       batch["image"].astype(jnp.bfloat16),
+                                       train=True)
+        losses = compute_seg_losses(outputs, batch["ground_mask"],
+                                    batch["labelled_pix"])
+        return losses["loss"], new_state
+
+    @jax.jit
+    def step(ts, batch):
+        (loss, new_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(ts["params"], ts["state"], batch)
+        updates, new_opt = optimizer.update(grads, ts["opt_state"],
+                                            ts["params"])
+        return {"params": optax.apply_updates(ts["params"], updates),
+                "state": new_state, "opt_state": new_opt}, loss
+
+    ts, loss = step(ts, b)  # compile outside the trace
+    _ = np.asarray(loss)
+
+    with jax.profiler.trace(outdir):
+        for _ in range(5):
+            ts, loss = step(ts, b)
+        _ = np.asarray(loss)
+    print(f"seg trace written under {outdir}")
 
 
 def load_events(outdir: str):
@@ -119,6 +193,10 @@ def main():
         batch = int(rest[0]) if rest else 12
         outdir = rest[1] if len(rest) > 1 else "/tmp/fp_trace"
         capture(batch, outdir)
+    elif mode == "capture-seg":
+        batch = int(rest[0]) if rest else 12
+        outdir = rest[1] if len(rest) > 1 else "/tmp/fp_trace_seg"
+        capture_seg(batch, outdir)
     elif mode == "report":
         outdir = rest[0] if rest else "/tmp/fp_trace"
         top = 25
