@@ -94,13 +94,25 @@ def bench_jax(precision: str, batch: int):
 
 
 def bench_train(batch=12, height=H, width=W, n_hi=25, s2d_head=False,
-                p4_head=False):
+                p4_head=False, batch_as_arg=False):
     """Mixed-precision training-step throughput (imgs/s) on one chip.
 
     Defaults bench the KITTI recipe (192x640 batch 12); the matterport
     recipe is 512x640 batch 8 (reference README.md:140).  s2d_head=True
     benches the s2d-basis '1/1' loss variant with put-path-packed targets
-    (train/step.py TrainStepConfig.s2d_head)."""
+    (train/step.py TrainStepConfig.s2d_head).
+
+    batch_as_arg: by default the batch is CLOSED OVER by the fori chain —
+    measured r5 (PERF.md methodology addendum), the closure chain matches
+    the production-shaped traced step to <1% (57.98 traced vs 58.36
+    chain @b12 packed heads), while passing the batch as a jit argument
+    pessimizes the packed-targets graph ~3.3 ms/step inside the loop
+    (61.7 ms; the standard graph is unaffected, 63.0 vs 63.2).  Closure
+    embeds the batch as HLO constants though, and the tunnel's
+    remote-compile rejects request bodies past ~100 MB with HTTP 413 —
+    batch_as_arg=True is the escape hatch for large-payload configs
+    (e.g. 512x640 batch 16); compare argument-form numbers only against
+    other argument-form numbers."""
     import jax
     import jax.numpy as jnp
 
@@ -130,8 +142,7 @@ def bench_train(batch=12, height=H, width=W, n_hi=25, s2d_head=False,
     ts = init_train_state(net, jax.random.PRNGKey(0), cfg)
     raw_step = build_train_step(net, cfg, mesh=False)  # unjitted
 
-    @jax.jit
-    def chain(ts, n):
+    def chain_body(ts, b, n):
         def body(_, carry):
             carry, metrics = raw_step(carry, b)
             return carry
@@ -141,9 +152,14 @@ def bench_train(batch=12, height=H, width=W, n_hi=25, s2d_head=False,
         # step counter lets XLA dead-code-eliminate the whole model
         return jax.tree.leaves(carry["params"])[0].ravel()[0]
 
+    if batch_as_arg:
+        chain, args = jax.jit(chain_body), (ts, b)
+    else:
+        chain, args = jax.jit(lambda ts, n: chain_body(ts, b, n)), (ts,)
+
     # 24-step window (~1.7 s on device) so tunnel jitter is <15% of the
     # measured quantity instead of ~100% at the old 1->5 window
-    sec = _time_loop(chain, (ts,), 1, n_hi)
+    sec = _time_loop(chain, args, 1, n_hi)
     return batch / sec
 
 
