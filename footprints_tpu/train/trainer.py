@@ -293,8 +293,11 @@ class TrainManager:
                 self.train_state["params"], self.train_state["state"],
                 batch["image"])
             outputs = np.asarray(out["1/1"][:4])
+            # skip the packed-target keys ('@s2d' AND '@s2d2'): the logger
+            # reads only full-res maps, and fetching the packs would move
+            # ~12 MB/log-event over the (slow) device->host link for nothing
             inputs = {k: np.asarray(v[:4]) for k, v in batch.items()
-                      if not k.endswith("@s2d")}
+                      if "@s2d" not in k}
         log(writer, inputs, outputs, losses, float(np.asarray(self.lr)), self.step)
 
     def _sync_model_manager(self):

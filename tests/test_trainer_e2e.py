@@ -120,6 +120,19 @@ def test_train_manager_s2d_head_mixed_precision(tmp_path):
         assert batch[k + "@s2d"].shape == (8, H // 2, W // 2, 4)
         assert batch[k + "@s2d2"].shape == (8, H // 4, W // 4, 16)
     tm.train()
+    # the log fetch must skip BOTH packed-target families ('@s2d' and
+    # '@s2d2') — they are loss-only device tensors, not logger panels
+    import footprints_tpu.train.trainer as trainer_mod
+    captured = {}
+    orig_log = trainer_mod.log
+    trainer_mod.log = (lambda writer, inputs, *a, **kw:
+                       captured.setdefault("keys", set(inputs)))
+    try:
+        tm.opt.log_images = True
+        tm._log(object(), batch, {"loss": np.float32(0.0)})
+    finally:
+        trainer_mod.log = orig_log
+    assert captured["keys"] and not any("@s2d" in k for k in captured["keys"])
     assert tm.step == 1
 
     import jax
