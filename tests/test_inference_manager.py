@@ -63,6 +63,40 @@ def test_batch_inference_end_to_end(tmp_path, inference_tree):
     assert any(f.endswith(".jpg") for f in files)
 
 
+def test_overlapped_dump_matches_serial_bitwise(tmp_path, inference_tree):
+    """run(overlap=True) pipelines forward/fetch/save; it must produce
+    byte-identical artifacts to the serial order (run(overlap=False))."""
+    from footprints_tpu.eval.inference import InferenceManager
+    from footprints_tpu.model_manager import ModelManager
+    from footprints_tpu.options import Options
+
+    root, config = inference_tree
+    weights = tmp_path / "w3"
+    mm = ModelManager(save_folder=str(weights), is_inference=True)
+    mm.opt_state = None
+    mm.save_model("weights_0")
+
+    opts = Options().parse([
+        "--mode", "inference", "--inference_data_type", "kitti",
+        "--height", str(H), "--width", str(W), "--batch_size", "2",
+        "--num_workers", "1", "--config_path", config,
+        "--split_root", str(root / "splits"),
+        "--load_path", str(weights / "weights_0")])
+    manager = InferenceManager(opts)
+
+    outs = {}
+    for overlap in (False, True):
+        manager.savepath = str(tmp_path / f"preds_overlap_{overlap}")
+        manager.run(overlap=overlap)
+        outs[overlap] = {
+            f: open(os.path.join(manager.savepath, f), "rb").read()
+            for f in sorted(os.listdir(manager.savepath))
+            if f.endswith(".npy")}
+    assert sorted(outs[True]) == sorted(outs[False]) and len(outs[True]) == 5
+    for f in outs[True]:
+        assert outs[True][f] == outs[False][f], f"{f} differs under overlap"
+
+
 def test_default_save_path_is_under_load_path(tmp_path, inference_tree):
     from footprints_tpu.eval.inference import InferenceManager
     from footprints_tpu.model_manager import ModelManager

@@ -206,13 +206,23 @@ def test_seg_train_and_infer_end_to_end(tmp_path, ade20k_tree, compute_dtype):
                 "--encoder_depth", "18",
                 "--load_path", str(ckpt.parent)]
     opts_inf = Options().parse(argv_inf)
-    Tester(opts_inf).test()
+    tester = Tester(opts_inf)
+    tester.test()  # default overlap=True (pipelined dump)
     out0 = td / "ground_seg" / "seq0" / "image_02" / "data" / "0000000000.npy"
     assert out0.exists()
     pred = np.load(out0)
     assert pred.shape == (1, H, W)
     assert pred.dtype == np.float16
     assert 0 <= pred.min() and pred.max() <= 1
+
+    # the pipelined dump must be byte-identical to the serial order
+    dump_dir = td / "ground_seg"
+    overlapped = {p.relative_to(dump_dir): p.read_bytes()
+                  for p in sorted(dump_dir.rglob("*.npy"))}
+    tester.test(overlap=False)
+    serial = {p.relative_to(dump_dir): p.read_bytes()
+              for p in sorted(dump_dir.rglob("*.npy"))}
+    assert overlapped and overlapped == serial
 
 
 @pytest.mark.slow
