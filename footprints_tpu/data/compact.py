@@ -83,7 +83,8 @@ def _f16_exact(a):
     sentinel zeroing, clipping) — e.g. the matterport hidden_depth
     (data/matterport.py); KITTI's hidden_depths go through INTER_AREA
     averaging and legitimately stay f32."""
-    f16 = a.astype(np.float16)
+    with np.errstate(over="ignore"):  # out-of-range probe values fail the
+        f16 = a.astype(np.float16)    # equality check; the warning is noise
     if (f16.astype(np.float32) == a).all():
         return f16
     return None
